@@ -1,0 +1,164 @@
+"""Public Python API: the ``Nyxus`` family of classes.
+
+Mirrors the reference's Python surface (reference:
+src/nyx/python/nyxus/nyxus.py:29-2311) on top of the TPU-native engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import columns as col
+from . import taxonomy as tx
+from .config import EngineConfig
+from .pipeline.runner import PairRunner
+
+_VALID_OUTPUT_TYPES = ("pandas", "arrowipc", "parquet")
+
+_KWARG_MAP = {
+    # constructor kwarg -> EngineConfig field (None = handled separately)
+    "neighbor_distance": "pixel_distance",
+    "pixels_per_micron": "pixels_per_micron",
+    "coarse_gray_depth": "coarse_gray_depth",
+    "n_feature_calc_threads": "n_feature_calc_threads",
+    "ibsi": "ibsi",
+    "gabor_kersize": "gabor_kersize",
+    "gabor_gamma": "gabor_gamma",
+    "gabor_sig2lam": "gabor_sig2lam",
+    "gabor_f0": "gabor_f0",
+    "gabor_thold": "gabor_thold",
+    "dynamic_range": "fpimg_target_dr",
+    "min_intensity": "fpimg_min",
+    "max_intensity": "fpimg_max",
+    "preserve_hu": "preserve_hu",
+    "ram_limit": "ram_limit_mb",
+    "anisotropy_x": "aniso_x",
+    "anisotropy_y": "aniso_y",
+}
+
+
+def _force_finite(values: np.ndarray, noval: float) -> np.ndarray:
+    """Reference: Nyxus::force_finite_number at output time."""
+    out = values.copy()
+    out[~np.isfinite(out)] = noval
+    return out
+
+
+class Nyxus:
+    """2D feature extractor (reference: nyxus.py:29-909)."""
+
+    _valid_output_types = list(_VALID_OUTPUT_TYPES)
+
+    def __init__(self, features, **kwargs):
+        self.features = list(features)
+        cfg = EngineConfig()
+        updates = {}
+        for k, v in kwargs.items():
+            field = _KWARG_MAP.get(k)
+            if field is not None and v is not None:
+                updates[field] = v
+        if "gabor_thetas" in kwargs:
+            updates["gabor_thetas"] = tuple(kwargs["gabor_thetas"])
+        if "gabor_freqs" in kwargs:
+            updates["gabor_freqs"] = tuple(kwargs["gabor_freqs"])
+        if "verbose" in kwargs:
+            self.verbosity = kwargs["verbose"]
+        self.cfg = cfg.replace(**updates)
+        self.error_message = ""
+        self._compile()
+
+    # -- setup ------------------------------------------------------------
+
+    def _compile(self):
+        self.fset = tx.parse_feature_request(
+            self.features, dim=2, ibsi=self.cfg.ibsi)
+        self.header, _ = col.build_header(self.fset, self.cfg)
+        self._runner = PairRunner(self.fset, self.cfg)
+
+    # -- featurize (in-memory NumPy montage) ------------------------------
+
+    def featurize(self, intensity_images: np.ndarray, label_images: np.ndarray,
+                  intensity_names: list = [], label_names: list = [],
+                  output_type: str = "pandas", output_path: str = ""):
+        if not isinstance(intensity_images, np.ndarray):
+            raise ValueError("intensity_images parameter must be numpy.ndarray")
+        if not isinstance(label_images, np.ndarray):
+            raise ValueError("label_images parameter must be numpy.ndarray")
+
+        if intensity_images.ndim == 2:
+            if label_images.ndim != 2:
+                raise ValueError("Both intensity and label arrays must be the same dimension")
+            intensity_images = intensity_images[None]
+            label_images = label_images[None]
+        elif intensity_images.ndim != 3:
+            raise ValueError("Intensity and label arrays must be 2D or 3D")
+        if intensity_images.shape != label_images.shape:
+            raise ValueError("Intensity and label image arrays must have the same "
+                             "number of images with matching dimensions")
+
+        n_img = intensity_images.shape[0]
+        if not intensity_names:
+            intensity_names = ["Intensity%d" % i for i in range(n_img)]
+        if not label_names:
+            label_names = ["Segmentation%d" % i for i in range(n_img)]
+        if len(intensity_names) != n_img or len(label_names) != n_img:
+            raise ValueError("Number of image names must equal the number of images")
+
+        # Hounsfield-style shift + uint cast (reference: nyxus.py:469-477)
+        I = intensity_images
+        min_raw = I.min() if I.size else 0
+        if min_raw < 0:
+            I = I - min_raw
+        I = I.astype(np.uint32)
+        M = label_images.astype(np.uint32)
+
+        frames = []
+        for i in range(n_img):
+            labs, values = self._runner.run(I[i], M[i])
+            values = _force_finite(values, self.cfg.noval)
+            frames.append(self._to_frame(intensity_names[i], label_names[i],
+                                         labs, values))
+        df = pd.concat(frames, ignore_index=True) if frames else self._to_frame("", "", np.zeros(0, np.int64), np.zeros((0, len(self.header) - 4)))
+        if output_type == "pandas":
+            return df
+        raise NotImplementedError("arrow output lands with the output milestone")
+
+    def _to_frame(self, int_name, seg_name, labs, values):
+        n = len(labs)
+        data = {
+            col.COL_INTENSITY: [int_name] * n,
+            col.COL_MASK: [seg_name] * n,
+            col.COL_LABEL: labs.astype(np.uint32),
+            col.COL_T: np.zeros(n),
+        }
+        for j, cname in enumerate(self.header[4:]):
+            data[cname] = values[:, j]
+        return pd.DataFrame(data)
+
+    # -- parameter access (reference: nyxus.py:560-770) -------------------
+
+    def set_params(self, **params):
+        updates = {}
+        for k, v in params.items():
+            field = _KWARG_MAP.get(k)
+            if field is not None:
+                updates[field] = v
+            elif k == "features":
+                self.features = list(v)
+            elif k in ("gabor_thetas", "gabor_freqs"):
+                updates[k] = tuple(v)
+        if updates:
+            self.cfg = self.cfg.replace(**updates)
+        self._compile()
+
+    def get_params(self, *args):
+        inv = {v: k for k, v in _KWARG_MAP.items()}
+        out = {"features": self.features}
+        for field, kwarg in inv.items():
+            out[kwarg] = getattr(self.cfg, field)
+        out["gabor_thetas"] = list(self.cfg.gabor_thetas)
+        out["gabor_freqs"] = list(self.cfg.gabor_freqs)
+        if args:
+            return {k: v for k, v in out.items() if k in args}
+        return out

@@ -1,0 +1,75 @@
+"""Engine configuration: the TPU-native equivalent of the reference's
+Environment + per-family Fsettings (reference: src/nyx/environment.h:30-278,
+src/nyx/feature_settings.h:6-81, defaults env_features.cpp:714-738).
+
+Everything that changes compiled-kernel behavior lives in the hashable,
+frozen ``EngineConfig`` so it can be a static jit argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # result conventions (reference: cli_result_options.h, roi_cache.h:17)
+    noval: float = -0.0            # soft NAN placeholder (--noval)
+    tinyval: float = 1e-10         # tiny value substitute (--tinyval)
+
+    # binning / texture (reference: environment.cpp:106, cli_glcm_options.h)
+    coarse_gray_depth: int = 64
+    ibsi: bool = False
+    glcm_angles: Tuple[int, ...] = (0, 45, 90, 135)
+    glcm_offset: int = 1
+    pixel_distance: int = 5        # neighbor distance (--pixelDistance)
+
+    # per-family grey-depth overrides (metaparams, env_metaparams.cpp);
+    # None -> inherit coarse_gray_depth
+    glcm_greydepth: int | None = None
+    gldm_greydepth: int | None = None
+    glrlm_greydepth: int | None = None
+    glszm_greydepth: int | None = None
+    ngtdm_greydepth: int | None = None
+    ngtdm_radius: int = 1
+
+    # gabor defaults (reference: gabor.h:52-66, nyxus.py:90-103)
+    gabor_kersize: int = 16
+    gabor_gamma: float = 0.1
+    gabor_sig2lam: float = 0.8
+    gabor_f0: float = 0.1
+    gabor_thold: float = 0.025
+    gabor_thetas: Tuple[float, ...] = (0, 45, 90, 135)
+    gabor_freqs: Tuple[float, ...] = (4, 16, 32, 64)
+
+    # float-image quantization (reference: slideprops.h:48-66)
+    fpimg_active: bool = False
+    fpimg_target_dr: float = 1e4
+    fpimg_min: float = 0.0
+    fpimg_max: float = 1.0
+    preserve_hu: bool = False
+
+    # anisotropy (reference: cli_anisotropy_options)
+    aniso_x: float = 1.0
+    aniso_y: float = 1.0
+    aniso_z: float = 1.0
+
+    pixels_per_micron: float = 1.0
+
+    # compute precision: 'f32' (TPU-native) or 'f64' (validation / CPU)
+    precision: str = "f32"
+
+    # batching
+    ram_limit_mb: int = 4096       # HBM budget per ROI batch
+    n_feature_calc_threads: int = 4
+
+    def texture_greydepth(self, family: str) -> int:
+        v = getattr(self, family + "_greydepth", None)
+        return self.coarse_gray_depth if v is None else v
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()

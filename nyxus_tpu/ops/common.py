@@ -1,0 +1,78 @@
+"""Shared batched primitives for feature kernels.
+
+TPU-first building blocks: histogram/bincount as fused one-hot matmuls (MXU),
+masked reductions, sorted-value statistics.  Everything is batched over a
+leading ROI axis ``B`` and works on padded, masked tensors with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_bincount(idx, weights, nbins: int):
+    """Batched bincount: out[b, k] = sum_a weights[b, a] * (idx[b, a] == k).
+
+    Scatter-add via segment_sum: memory-light (never materializes a one-hot),
+    works for any nbins.  idx entries outside [0, nbins) contribute nothing.
+
+    idx:     [B, A] int32
+    weights: [B, A] float (0 for padding)
+    -> [B, nbins] float of weights.dtype
+    """
+    B, A = idx.shape
+    in_range = (idx >= 0) & (idx < nbins)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    flat_idx = (rows * nbins + jnp.clip(idx, 0, nbins - 1)).reshape(-1)
+    w = jnp.where(in_range, weights, 0).reshape(-1)
+    out = jax.ops.segment_sum(w, flat_idx, num_segments=B * nbins)
+    return out.reshape(B, nbins)
+
+
+def bincount2d(i_idx, j_idx, weights, ni: int, nj: int):
+    """Batched 2D histogram: out[b, i, j] = sum_a w[b,a] * (i_idx==i) * (j_idx==j).
+
+    Implemented as one-hot(i)^T @ (one-hot(j) * w): an [ni, A] x [A, nj]
+    batched matmul -- the canonical MXU-friendly co-occurrence builder.
+    """
+    oi = (i_idx[..., None] == jnp.arange(ni, dtype=i_idx.dtype)).astype(weights.dtype)
+    oj = (j_idx[..., None] == jnp.arange(nj, dtype=j_idx.dtype)).astype(weights.dtype)
+    return jnp.einsum("bai,baj,ba->bij", oi, oj, weights,
+                      preferred_element_type=weights.dtype)
+
+
+def masked_sum(x, mask, axis=None):
+    return jnp.sum(jnp.where(mask, x, 0), axis=axis)
+
+
+def safe_div(a, b, default=0.0):
+    """a / b with ``default`` where b == 0."""
+    ok = b != 0
+    return jnp.where(ok, a / jnp.where(ok, b, 1), default)
+
+
+def sort_masked_values(intens, mask, pad=jnp.inf):
+    """Flatten an [B, H, W] crop to sorted [B, A] values with +inf padding."""
+    B = intens.shape[0]
+    v = jnp.where(mask, intens, pad).reshape(B, -1)
+    return jnp.sort(v, axis=1)
+
+
+def take_per_row(values, idx):
+    """values: [B, A], idx: [B] -> [B] gather of values[b, idx[b]]."""
+    return jnp.take_along_axis(values, idx[:, None], axis=1)[:, 0]
+
+
+def last_true_value(cond, cand, default=0.0):
+    """Per batch row: cand at the LAST index where cond is True, else default.
+
+    cond, cand: [B, K] -> [B].  Mirrors C++ loops that keep overwriting a
+    result on every matching iteration.
+    """
+    K = cond.shape[-1]
+    rev = cond[:, ::-1]
+    has = jnp.any(cond, axis=-1)
+    last = (K - 1) - jnp.argmax(rev, axis=-1)
+    picked = take_per_row(cand, last.astype(jnp.int32))
+    return jnp.where(has, picked, default)

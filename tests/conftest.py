@@ -1,0 +1,60 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with fp64 enabled
+so kernel parity can be checked against float64 numpy oracles."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon harness force-registers the TPU platform; pin tests to CPU
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: bucket-shape kernels compile once across runs
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_blobs(h=160, w=160, n_blobs=10, seed=0, intens_dtype=np.uint16,
+               rmin=4, rmax=24):
+    """Synthetic labeled image pair: elliptical blobs with textured interiors."""
+    r = np.random.default_rng(seed)
+    labels = np.zeros((h, w), np.int32)
+    intens = np.zeros((h, w), np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    lab = 1
+    for _ in range(n_blobs):
+        cy, cx = r.uniform(10, h - 10), r.uniform(10, w - 10)
+        ry, rx = r.uniform(rmin, rmax), r.uniform(rmin, rmax)
+        ang = r.uniform(0, np.pi)
+        ca, sa = np.cos(ang), np.sin(ang)
+        u = (yy - cy) * ca + (xx - cx) * sa
+        v = -(yy - cy) * sa + (xx - cx) * ca
+        m = (u / ry) ** 2 + (v / rx) ** 2 <= 1.0
+        m &= labels == 0
+        if m.sum() < 8:
+            continue
+        base = r.uniform(100, 40000)
+        tex = r.normal(0, base * 0.2, size=(h, w))
+        wave = base * 0.3 * np.sin(yy / r.uniform(2, 9)) * np.cos(xx / r.uniform(2, 9))
+        intens[m] = np.clip(base + tex[m] + wave[m], 1, 65535)
+        labels[m] = lab
+        lab += 1
+    return np.floor(intens).astype(intens_dtype), labels
+
+
+@pytest.fixture(scope="session")
+def blob_pair():
+    return make_blobs()
