@@ -42,6 +42,19 @@ def bincount2d(i_idx, j_idx, weights, ni: int, nj: int):
                       preferred_element_type=weights.dtype)
 
 
+def shifted2d(arr, dx: int, dy: int, fill=0):
+    """arr[b, y + dy, x + dx] with constant fill outside."""
+    B, H, W = arr.shape
+    ylo, yhi = max(-dy, 0), max(dy, 0)
+    xlo, xhi = max(-dx, 0), max(dx, 0)
+    padded = jnp.pad(arr, ((0, 0), (ylo, yhi), (xlo, xhi)),
+                     constant_values=fill)
+    return padded[:, yhi:yhi + H, xhi:xhi + W]
+
+
+NEIGHBORS8 = ((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1))
+
+
 def masked_sum(x, mask, axis=None):
     return jnp.sum(jnp.where(mask, x, 0), axis=axis)
 

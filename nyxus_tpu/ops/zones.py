@@ -1,0 +1,122 @@
+"""Zone labeling for GLSZM/GLDZM: vectorized equivalent of the reference's
+backtracking zone scan (reference: src/nyx/features/glszm.cpp:89-160,
+gldzm.cpp:92-240).
+
+The reference grows zones by DFS restricted to the E, SE, S, SW moves with
+backtracking, claiming pixels in raster order.  That procedure is exactly:
+
+    zone(v) = argmin_{raster order} { u : v is reachable from u in the DAG
+              whose edges are E/SE/S/SW steps between same-level pixels }
+
+(the DAG is acyclic because every edge increases (row, col) lexicographically,
+and the earliest-raster ancestor of a pixel is precisely the DFS seed that
+claims it first -- see docstring proof sketch in the repo docs).
+
+We compute min-ancestor labels by iterating:
+  * a vertical relaxation pulling labels from the NW/N/NE predecessors
+  * a segmented horizontal prefix-min along same-level runs (W predecessor
+    chains collapse in one associative scan)
+until fixpoint (lax.while_loop).  Zone sizes follow by a segment-sum over
+labels; per-zone reductions use sorted-run counting.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+from .common import shifted2d
+
+
+def zone_labels(lev, valid):
+    """Min-ancestor zone labels.
+
+    lev: [B, H, W] int32 levels; valid: [B, H, W] participation mask.
+    Returns anc: [B, H, W] int32 raster index of each pixel's zone seed
+    (BIG = H*W for non-participating pixels).
+    """
+    B, H, W = lev.shape
+    BIG = jnp.int32(H * W)
+    ridx = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+            + jnp.arange(W, dtype=jnp.int32)[None, :])
+    ridx = jnp.broadcast_to(ridx[None], (B, H, W))
+    anc0 = jnp.where(valid, ridx, BIG)
+
+    # horizontal same-level continuity (predecessor = W neighbor)
+    same_w = valid & shifted2d(valid, -1, 0, fill=False) & \
+        (lev == shifted2d(lev, -1, 0))
+
+    def seg_prefix_min(a):
+        """Prefix-min along x, restarting where same_w is False."""
+        def op(l, r):
+            lv, lc = l
+            rv, rc = r
+            # rc = right block connects to the left -> min flows through
+            v = jnp.where(rc, jnp.minimum(lv, rv), rv)
+            return (v, lc & rc)
+        v, _ = lax.associative_scan(op, (a, same_w), axis=2)
+        return v
+
+    diag_preds = ((-1, -1), (0, -1), (1, -1))   # NW, N, NE (dx, dy)
+
+    def step(anc):
+        for dx, dy in diag_preds:
+            n_anc = shifted2d(anc, dx, dy, fill=BIG)
+            n_val = shifted2d(valid, dx, dy, fill=False)
+            n_lev = shifted2d(lev, dx, dy)
+            ok = valid & n_val & (n_lev == lev)
+            anc = jnp.where(ok, jnp.minimum(anc, n_anc), anc)
+        return seg_prefix_min(anc)
+
+    def cond(state):
+        anc, changed = state
+        return changed
+
+    def body(state):
+        anc, _ = state
+        new = step(anc)
+        return new, jnp.any(new != anc)
+
+    anc, _ = lax.while_loop(cond, body, (step(anc0), jnp.bool_(True)))
+    return jnp.where(valid, anc, BIG)
+
+
+def zone_seeds_and_sizes(anc, valid):
+    """(seed mask, zone size at seed) from zone labels.
+
+    anc: [B, H, W] labels; returns seed: [B, H, W] bool and
+    size: [B, H, W] int32 (zone pixel count, meaningful at seeds)."""
+    B, H, W = anc.shape
+    A = H * W
+    flat = anc.reshape(B, -1)
+    ridx = jnp.arange(A, dtype=jnp.int32)[None]
+    ones = valid.reshape(B, -1).astype(jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    seg = (rows * (A + 1) + jnp.minimum(flat, A)).reshape(-1)
+    counts = jax.ops.segment_sum(ones.reshape(-1), seg,
+                                 num_segments=B * (A + 1))
+    counts = counts.reshape(B, A + 1)[:, :A]
+    seed = valid & (flat == ridx).reshape(B, H, W)
+    size = jnp.take_along_axis(counts, jnp.minimum(flat, A - 1), axis=1)
+    return seed, size.reshape(B, H, W)
+
+
+def grouped_run_counts(keys):
+    """For each valid element, the number of valid elements sharing its key.
+
+    keys: [B, A] float (+inf for invalid). Returns [B, A] counts aligned with
+    the SORTED order plus the sorted validity mask -- callers reduce over the
+    sorted arrays directly."""
+    B, A = keys.shape
+    ks = jnp.sort(keys, axis=1)
+    v = jnp.isfinite(ks)
+    idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1)
+    is_end = jnp.concatenate(
+        [ks[:, 1:] != ks[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+    run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+    run_end = lax.cummin(jnp.where(is_end, idx, A), axis=1, reverse=True)
+    counts = jnp.where(v, run_end - run_start + 1, 0)
+    return ks, counts, v

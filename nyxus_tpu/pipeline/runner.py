@@ -25,12 +25,13 @@ def _compute_dtype(cfg: EngineConfig):
     return jnp.float64 if cfg.precision == "f64" else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("families", "cfg"))
-def _extract_bucket(intens, mask, area, vmin, vmax, y0, x0,
-                    slide_min, slide_max, families, cfg):
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
+def _extract_bucket(intens, mask, area, vmin, vmax, y0, x0, heights, widths,
+                    slide_min, slide_max, families, cfg, static_meta=()):
     """Run all requested feature families over one padded ROI batch."""
     ctx = registry.BatchContext(intens, mask, area, vmin, vmax, y0, x0,
-                                slide_min, slide_max, cfg)
+                                slide_min, slide_max, cfg, static_meta,
+                                heights=heights, widths=widths)
     return {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
 
 
@@ -97,11 +98,17 @@ class PairRunner:
             vmax = jnp.asarray([r.vmax for r in batch_recs], dtype)
             y0 = jnp.asarray([r.y0 for r in batch_recs], jnp.int32)
             x0 = jnp.asarray([r.x0 for r in batch_recs], jnp.int32)
+            hh = jnp.asarray([r.height for r in batch_recs], jnp.int32)
+            ww = jnp.asarray([r.width for r in batch_recs], jnp.int32)
             sl_min = jnp.full((len(idxs),), smin, dtype)
             sl_max = jnp.full((len(idxs),), smax, dtype)
 
-            out = _extract_bucket(ci, cm, area, vmin, vmax, y0, x0,
-                                  sl_min, sl_max, self.families, self.cfg)
+            static_meta = ()
+            if self.cfg.ibsi:
+                static_meta = (("max_int", int(max(r.vmax for r in batch_recs))),)
+            out = _extract_bucket(ci, cm, area, vmin, vmax, y0, x0, hh, ww,
+                                  sl_min, sl_max, self.families, self.cfg,
+                                  static_meta)
             out = jax.device_get(out)
             self._scatter(values, idxs, out)
 

@@ -1,0 +1,72 @@
+"""GLRLM parity tests vs the independent numpy run-scanning oracle."""
+
+import numpy as np
+import pytest
+
+from nyxus_tpu import taxonomy as tx
+from nyxus_tpu import columns as col
+from nyxus_tpu.config import EngineConfig
+from nyxus_tpu.pipeline.runner import PairRunner
+
+import oracle_glrlm as oracle
+
+RTOL = 1e-9
+ANGLES = (0, 45, 90, 135)
+
+
+def run_glrlm(intens, labels, **cfg_kw):
+    cfg = EngineConfig(precision="f64", **cfg_kw)
+    fset = tx.parse_feature_request(["*ALL_GLRLM*"], ibsi=cfg.ibsi)
+    runner = PairRunner(fset, cfg)
+    labs, values = runner.run(intens, labels)
+    cols, _ = col.build_header(fset, cfg)
+    return labs, values, cols[4:], cfg
+
+
+def test_glrlm_matches_oracle(blob_pair):
+    intens, labels = blob_pair
+    labs, values, colnames, cfg = run_glrlm(intens, labels)
+    ng = cfg.coarse_gray_depth
+    checked = 0
+    for i, lab in enumerate(labs):
+        ys, xs = np.nonzero(labels == lab)
+        sub_i = intens[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+        sub_l = labels[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+        crop = np.where(sub_l == lab, sub_i, 0).astype(np.float64)
+        if crop.max() == crop.min():
+            continue
+        lev = oracle.bin_matlab_img(crop, ng)   # background 0 -> level 1
+        valid = np.ones_like(lev, dtype=bool)   # MATLAB mode: all AABB pixels
+        n_pixels = (crop > 0).sum()
+        nr = max(crop.shape)
+        row = dict(zip(colnames, values[i]))
+        for ang in ANGLES:
+            # note: bucket nr may exceed AABB nr; runs can't exceed AABB dims
+            P = oracle.run_matrix(lev, valid, ang, ng, nr)
+            ref = oracle.glrlm_features(P, n_pixels)
+            for m in oracle.ALL:
+                got = row["%s_%d" % (m, ang)]
+                assert got == pytest.approx(ref[m], rel=RTOL, abs=1e-10), (
+                    "%s angle %d lab %d" % (m, ang, lab))
+                checked += 1
+    assert checked > 400
+
+
+def test_glrlm_blank_roi():
+    intens = np.zeros((12, 12), np.uint16)
+    labels = np.zeros((12, 12), np.int32)
+    intens[2:6, 2:6] = 9
+    labels[2:6, 2:6] = 1
+    labs, values, colnames, _ = run_glrlm(intens, labels)
+    row = dict(zip(colnames, values[0]))
+    assert row["GLRLM_SRE_0"] == -0.0
+    assert row["GLRLM_SRE_AVE"] == -0.0
+
+
+def test_glrlm_ave(blob_pair):
+    intens, labels = blob_pair
+    labs, values, colnames, cfg = run_glrlm(intens, labels)
+    row = dict(zip(colnames, values[0]))
+    for m in oracle.ALL:
+        vals = [row["%s_%d" % (m, a)] for a in ANGLES]
+        assert row[m + "_AVE"] == pytest.approx(np.mean(vals), rel=1e-12)

@@ -1,0 +1,84 @@
+"""GLSZM / GLDZM parity tests vs the literal zone-scan oracle."""
+
+import numpy as np
+import pytest
+
+from nyxus_tpu import taxonomy as tx
+from nyxus_tpu import columns as col
+from nyxus_tpu.config import EngineConfig
+from nyxus_tpu.pipeline.runner import PairRunner
+
+import oracle_zones as oracle
+
+RTOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def extracted(blob_pair):
+    intens, labels = blob_pair
+    cfg = EngineConfig(precision="f64")
+    fset = tx.parse_feature_request(["*ALL_GLSZM*", "*ALL_GLDZM*"])
+    runner = PairRunner(fset, cfg)
+    labs, values = runner.run(intens, labels)
+    cols, _ = col.build_header(fset, cfg)
+    return intens, labels, labs, values, cols[4:], cfg
+
+
+def _crop(intens, labels, lab):
+    ys, xs = np.nonzero(labels == lab)
+    sl = (slice(ys.min(), ys.max() + 1), slice(xs.min(), xs.max() + 1))
+    return np.where(labels[sl] == lab, intens[sl], 0)
+
+
+def test_glszm(extracted):
+    intens, labels, labs, values, colnames, cfg = extracted
+    checked = 0
+    for i, lab in enumerate(labs):
+        crop = _crop(intens, labels, lab)
+        ref = oracle.glszm_features(crop, cfg.coarse_gray_depth)
+        row = dict(zip(colnames, values[i]))
+        if ref is None:
+            assert row["GLSZM_SAE"] == -0.0
+            continue
+        for m, want in ref.items():
+            assert row[m] == pytest.approx(want, rel=RTOL, abs=1e-10), (m, lab)
+            checked += 1
+    assert checked > 100
+
+
+def test_gldzm(extracted):
+    intens, labels, labs, values, colnames, cfg = extracted
+    checked = 0
+    for i, lab in enumerate(labs):
+        crop = _crop(intens, labels, lab)
+        roi_area = (labels == lab).sum()
+        ref = oracle.gldzm_features(crop, roi_area, cfg.coarse_gray_depth)
+        row = dict(zip(colnames, values[i]))
+        if ref is None:
+            assert row["GLDZM_SDE"] == -0.0
+            continue
+        for m, want in ref.items():
+            assert row[m] == pytest.approx(want, rel=RTOL, abs=1e-10), (m, lab)
+            checked += 1
+    assert checked > 100
+
+
+def test_zone_labels_tricky_pattern():
+    """The directed scan splits components that full 8-connectivity joins:
+    pixels (0,0), (0,2), (1,1) of equal level form TWO reference zones."""
+    import jax.numpy as jnp
+    from nyxus_tpu.ops import zones
+
+    lev = np.zeros((1, 4, 4), np.int32)
+    lev[0, 0, 0] = lev[0, 0, 2] = lev[0, 1, 1] = 5
+    valid = lev > 0
+    anc = np.asarray(zones.zone_labels(jnp.asarray(lev), jnp.asarray(valid)))
+    # (0,0) seeds a zone that claims (1,1) via SE; (0,2) is alone: its SW
+    # neighbor (1,1) has an earlier ancestor
+    assert anc[0, 0, 0] == 0
+    assert anc[0, 1, 1] == 0     # claimed by raster-first ancestor (0,0)
+    assert anc[0, 0, 2] == 2     # its own zone
+    ref_zones = oracle.scan_zones(lev[0], valid[0])
+    assert len(ref_zones) == 2
+    sizes = sorted(len(p) for _, p in ref_zones)
+    assert sizes == [1, 2]
