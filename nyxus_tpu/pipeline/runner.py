@@ -27,12 +27,25 @@ def _compute_dtype(cfg: EngineConfig):
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
 def _extract_bucket(intens, mask, area, vmin, vmax, y0, x0, heights, widths,
-                    slide_min, slide_max, families, cfg, static_meta=()):
+                    slide_min, slide_max, families, cfg, static_meta=(),
+                    contour_xy=None, contour_valid=None):
     """Run all requested feature families over one padded ROI batch."""
     ctx = registry.BatchContext(intens, mask, area, vmin, vmax, y0, x0,
                                 slide_min, slide_max, cfg, static_meta,
-                                heights=heights, widths=widths)
+                                heights=heights, widths=widths,
+                                contour_xy=contour_xy,
+                                contour_valid=contour_valid)
     return {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
+
+
+class HostContext:
+    """Inputs for host-side (sequential/contour) families."""
+
+    def __init__(self, recs, contours, intens, label_img):
+        self.recs = recs            # all RoiRecords of the pair
+        self.contours = contours    # merged contour per ROI, local +1 coords
+        self.intens = intens
+        self.label_img = label_img
 
 
 def _crop_batch(padded_intens, padded_labels, recs, shape, dtype):
@@ -57,6 +70,8 @@ class PairRunner:
         self.fset = fset
         self.cfg = cfg
         self.families = registry.families_for(fset)
+        self._device_needs_contour = any(
+            registry.FAMILIES[f].needs_contour for f in self.families)
         _, self.slots = col.build_header(fset, cfg)
         self.n_values = sum(w for _, w in self.slots)
         # member-name -> (slot offset, width) for assembly
@@ -74,6 +89,16 @@ class PairRunner:
         values = np.full((n, self.n_values), -0.0, dtype=np.float64)
         if n == 0:
             return np.zeros(0, np.int64), values
+
+        # host contour phase (reference: ContourFeature::buildRegularContour)
+        contours = None
+        if registry.contour_needed(self.fset):
+            from . import contour as contour_mod
+            contours = []
+            for r in recs:
+                sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
+                cm = label_img[sl] == r.label
+                contours.append(contour_mod.merged_contour(cm, intens[sl]))
 
         batches = batching.group_rois(
             recs, hbm_budget_bytes=self.cfg.ram_limit_mb << 20)
@@ -106,11 +131,34 @@ class PairRunner:
             static_meta = ()
             if self.cfg.ibsi:
                 static_meta = (("max_int", int(max(r.vmax for r in batch_recs))),)
+
+            c_xy = c_valid = None
+            if contours is not None and self._device_needs_contour:
+                cmax = max(max((contours[i].shape[0] for i in idxs), default=1), 1)
+                cmax = -(-cmax // 64) * 64  # pad to x64 to bound recompiles
+                c_xy = np.zeros((len(idxs), cmax, 2), np.float64)
+                c_valid = np.zeros((len(idxs), cmax), bool)
+                for bi, i in enumerate(idxs):
+                    K = contours[i]
+                    c_xy[bi, :K.shape[0]] = K[:, :2]
+                    c_valid[bi, :K.shape[0]] = True
+                c_xy = jnp.asarray(c_xy, dtype)
+                c_valid = jnp.asarray(c_valid)
+
             out = _extract_bucket(ci, cm, area, vmin, vmax, y0, x0, hh, ww,
                                   sl_min, sl_max, self.families, self.cfg,
-                                  static_meta)
+                                  static_meta, c_xy, c_valid)
             out = jax.device_get(out)
             self._scatter(values, idxs, out)
+
+        # host families (contour statistics etc.)
+        host_fams = registry.host_families_for(self.fset)
+        if host_fams:
+            hc = HostContext(recs, contours, intens, label_img)
+            for name in host_fams:
+                fam = registry.FAMILIES[name]
+                members = fam.host_fn(hc, self.cfg)
+                self._scatter(values, list(range(n)), {name: members})
 
         labs = np.asarray([r.label for r in recs], np.int64)
         return labs, values

@@ -31,12 +31,15 @@ class BatchContext:
 
     def __init__(self, intens, mask, area, vmin, vmax, y0, x0,
                  slide_min, slide_max, cfg: EngineConfig, static_meta=(),
-                 heights=None, widths=None):
+                 heights=None, widths=None, contour_xy=None,
+                 contour_valid=None):
         # static_meta: hashable (key, value) pairs of per-batch static scalars
         # (e.g. max integer intensity for IBSI level counts)
         self.static_meta = dict(static_meta)
         self.heights = heights        # [B] AABB height per ROI
         self.widths = widths          # [B] AABB width per ROI
+        self.contour_xy = contour_xy        # [B, C, 2] local +1-shifted coords
+        self.contour_valid = contour_valid  # [B, C] bool
         self.intens = intens          # [B, H, W] compute dtype, raw crop
         self.mask = mask              # [B, H, W] bool
         self.area = area              # [B] int32
@@ -103,8 +106,10 @@ class BatchContext:
 class Family:
     name: str                          # reference calculator class name
     codes: typing.Tuple[int, ...]      # provided global feature codes
-    fn: typing.Callable                # (ctx, cfg) -> {member: array}
+    fn: typing.Callable = None         # device: (ctx, cfg) -> {member: array}
     domain: str = "2d"                 # member-name enum domain: 2d|3d|imq
+    host_fn: typing.Callable = None    # host: (hostctx, cfg) -> {member: [N]}
+    needs_contour: bool = False        # device kernel consumes contour arrays
 
     def member_code(self, member: str):
         table = {"2d": tx.F2D, "3d": tx.F3D, "imq": tx.FIMQ}[self.domain]
@@ -114,16 +119,28 @@ class Family:
 FAMILIES: dict = {}
 
 
-def register(name: str, fn, extra_codes=(), domain="2d"):
+def register(name: str, fn=None, extra_codes=(), domain="2d", host_fn=None,
+             needs_contour=False):
     codes = tuple(tx.CLASS_FEATURES.get(name, ())) + tuple(extra_codes)
-    FAMILIES[name] = Family(name, codes, fn, domain)
+    FAMILIES[name] = Family(name, codes, fn, domain, host_fn, needs_contour)
     return fn
 
 
 def families_for(fset: tx.FeatureSet):
-    """Names of families providing at least one enabled feature, in
-    registration order."""
-    return tuple(n for n, fam in FAMILIES.items() if fset.any_enabled(fam.codes))
+    """Names of device families providing at least one enabled feature."""
+    return tuple(n for n, fam in FAMILIES.items()
+                 if fam.fn is not None and fset.any_enabled(fam.codes))
+
+
+def host_families_for(fset: tx.FeatureSet):
+    return tuple(n for n, fam in FAMILIES.items()
+                 if fam.host_fn is not None and fset.any_enabled(fam.codes))
+
+
+def contour_needed(fset: tx.FeatureSet):
+    return any(fset.any_enabled(fam.codes)
+               for fam in FAMILIES.values()
+               if fam.needs_contour or fam.host_fn is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -269,3 +286,164 @@ def _gldzm_family(ctx: BatchContext, cfg: EngineConfig):
 
 
 register("GLDZMFeature", _gldzm_family)
+
+
+# ---------------------------------------------------------------------------
+# Morphology / geometry
+
+
+def _basic_morphology_family(ctx, cfg):
+    from .ops import morphology
+    return morphology.basic_morphology(ctx, cfg)
+
+
+register("BasicMorphologyFeatures", _basic_morphology_family)
+
+
+def _ellipse_family(ctx, cfg):
+    from .ops import morphology
+    return morphology.ellipse_fitting(ctx, cfg)
+
+
+register("EllipseFittingFeature", _ellipse_family)
+
+
+def _erosion_family(ctx, cfg):
+    from .ops import binary
+    return {"EROSIONS_2_VANISH": binary.erosions_to_vanish(
+        ctx.mask, ctx.heights, ctx.widths, ctx.intens.dtype)}
+
+
+register("ErosionPixelsFeature", _erosion_family)
+
+
+def _euler_family(ctx, cfg):
+    from .ops import binary
+    return {"EULER_NUMBER": binary.euler_number(ctx.mask, ctx.intens.dtype)}
+
+
+register("EulerNumberFeature", _euler_family)
+
+
+def _fractal_family(ctx, cfg):
+    from .ops import binary
+    return {"FRACT_DIM_BOXCOUNT": binary.fract_dim_boxcount(
+        ctx.mask, ctx.heights, ctx.widths, ctx.intens.dtype)}
+
+
+register("FractalDimensionFeature", _fractal_family,
+         host_fn=lambda hc, cfg: _fractal_perimeter_host(hc, cfg))
+
+
+# Smoms uses the legacy member names (SPAT_MOMENT_*, HU_M*, ...) while Imoms
+# uses the IMOM_* scheme (featureset.h)
+_SMOM_RENAME = {
+    "RM": "SPAT_MOMENT", "WRM": "WEIGHTED_SPAT_MOMENT",
+    "CM": "CENTRAL_MOMENT", "WCM": "WEIGHTED_CENTRAL_MOMENT",
+    "NCM": "NORM_CENTRAL_MOMENT", "WNCM": "WT_NORM_CTR_MOM",
+    "NRM": "NORM_SPAT_MOMENT",
+}
+
+
+def _moments_family(prefix):
+    def fn(ctx, cfg):
+        from .ops import moments
+        if prefix == "IMOM":
+            weights = ctx.masked_intens
+        else:
+            weights = ctx.mask.astype(ctx.intens.dtype)
+        out = moments.moments_all(ctx, weights, prefix,
+                                  ctx.contour_xy, ctx.contour_valid)
+        if prefix == "SMOM":
+            renamed = {}
+            for k, v in out.items():
+                tag = k[len("SMOM_"):]
+                if tag.startswith("WHU"):
+                    renamed["WEIGHTED_HU_M" + tag[3:]] = v
+                elif tag.startswith("HU"):
+                    renamed["HU_M" + tag[2:]] = v
+                else:
+                    kind, pq = tag.rsplit("_", 1)
+                    renamed["%s_%s" % (_SMOM_RENAME[kind], pq)] = v
+            return renamed
+        return out
+    return fn
+
+
+register("Imoms2D_feature", _moments_family("IMOM"), needs_contour=True)
+register("Smoms2D_feature", _moments_family("SMOM"), needs_contour=True)
+
+
+# ---------------------------------------------------------------------------
+# Host families (sequential / contour-based; reference runs these on CPU too)
+
+
+def _contour_host(hc, cfg):
+    """ContourFeature (contour.cpp:935-987)."""
+    import numpy as np
+    n = len(hc.recs)
+    out = {m: np.full(n, 0.0) for m in
+           ("PERIMETER", "DIAMETER_EQUAL_PERIMETER", "EDGE_MEAN_INTENSITY",
+            "EDGE_STDDEV_INTENSITY", "EDGE_MAX_INTENSITY",
+            "EDGE_MIN_INTENSITY", "EDGE_INTEGRATED_INTENSITY")}
+    for i, K in enumerate(hc.contours):
+        if K.shape[0] == 0:
+            continue
+        pts = K[:, :2].astype(np.float64)
+        d = pts - np.roll(pts, 1, axis=0)
+        out["PERIMETER"][i] = np.sqrt((d * d).sum(1)).sum()
+        out["DIAMETER_EQUAL_PERIMETER"][i] = out["PERIMETER"][i] / np.pi
+        inten = K[:, 2].astype(np.float64)
+        out["EDGE_MEAN_INTENSITY"][i] = inten.mean()
+        m2 = ((inten - inten.mean()) ** 2).sum()
+        out["EDGE_STDDEV_INTENSITY"][i] = (
+            np.sqrt(m2 / (len(inten) - 1)) if len(inten) > 2 else 0.0)
+        out["EDGE_MAX_INTENSITY"][i] = inten.max()
+        out["EDGE_MIN_INTENSITY"][i] = inten.min()
+        out["EDGE_INTEGRATED_INTENSITY"][i] = inten.sum()
+    return out
+
+
+register("ContourFeature", host_fn=_contour_host)
+
+
+def _fractal_perimeter_host(hc, cfg):
+    """FRACT_DIM_PERIMETER (fractal_dim.cpp:96-125)."""
+    import numpy as np
+    n = len(hc.recs)
+    vals = np.zeros(n)
+    for i, K in enumerate(hc.contours):
+        clen = K.shape[0]
+        if clen < 3:
+            continue
+        pts = K[:, :2].astype(np.float64)
+        cov = []
+        s = clen // 4
+        while s > 0:
+            perim = 0.0
+            nsteps = 0
+            j = 0
+            while j + s < clen:
+                perim += np.sqrt(((pts[j] - pts[j + s]) ** 2).sum())
+                nsteps += 1
+                j += s
+            perim += np.sqrt(((pts[j] - pts[0]) ** 2).sum())
+            nsteps += 1
+            cov.append((perim / nsteps, perim))
+            s //= 2
+        vals[i] = 1.0 - _loglog_slope(cov)
+    return {"FRACT_DIM_PERIMETER": vals}
+
+
+def _loglog_slope(cov):
+    import numpy as np
+    pts = [(np.log(a), np.log(b)) for a, b in cov if a > 0 and b > 0]
+    if len(pts) < 2:
+        return 0.0
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    n = len(pts)
+    denom = (x * x).sum() * n - x.sum() ** 2
+    if denom == 0:
+        return 0.0
+    return ((x * y).sum() * n - x.sum() * y.sum()) / denom
