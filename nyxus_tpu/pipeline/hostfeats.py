@@ -1,0 +1,598 @@
+"""Host-side geometry features: convex hull, calipers, chords, circles,
+geodetic length, neighbors, hexagonality.
+
+These are the reference's sequential per-ROI algorithms (quickhull, rotating
+measurements, Welzl circle, cross-ROI neighbor search); they run host-side
+exactly as the reference runs them on CPU threads.  References cited per
+function.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# convex hull (convex_hull_nontriv.cpp:68-210)
+
+def build_convex_hull(xs, ys):
+    """Monotone-chain hull over pixel points, reference vertex order:
+    upper chain then lower-chain leftovers.  Returns [K, 2] array (x, y)."""
+    pts = np.stack([xs, ys], axis=1)
+    if len(pts) < 2:
+        return pts.astype(np.float64)
+    order = np.lexsort((ys, xs))
+    pts = pts[order]
+    # reduce to per-column extremes: hull vertices only occur there
+    px, py = pts[:, 0], pts[:, 1]
+    first = np.concatenate([[True], px[1:] != px[:-1]])
+    starts = np.nonzero(first)[0]
+    ends = np.concatenate([starts[1:] - 1, [len(px) - 1]])
+    cand = np.unique(np.concatenate([starts, ends]))
+    pts = pts[cand]
+
+    def right_turn(p1, p2, p3):
+        return ((p3[0] - p1[0]) * (p2[1] - p1[1])
+                - (p3[1] - p1[1]) * (p2[0] - p1[0])) > 0
+
+    n = len(pts)
+    if n < 2:
+        return pts.astype(np.float64)
+    upper = [pts[0], pts[1]]
+    for i in range(2, n):
+        while len(upper) > 1 and not right_turn(upper[-2], upper[-1], pts[i]):
+            upper.pop()
+        upper.append(pts[i])
+    lower = [pts[n - 1], pts[n - 2]]
+    for i in range(2, n):
+        p = pts[n - i - 1]
+        while len(lower) > 1 and not right_turn(lower[-2], lower[-1], p):
+            lower.pop()
+        lower.append(p)
+    seen = {tuple(p) for p in upper}
+    hull = list(upper) + [p for p in lower if tuple(p) not in seen]
+    return np.array(hull, np.float64)
+
+
+def polygon_area(v):
+    if len(v) == 0:
+        return 0.0
+    x, y = v[:, 0], v[:, 1]
+    return abs(np.sum(x * np.roll(y, -1) - y * np.roll(x, -1))) / 2.0
+
+
+def hull_boundary_points(v):
+    if len(v) < 2:
+        return 0
+    d = np.abs(v - np.roll(v, -1, axis=0)).astype(np.int64)
+    return int(sum(math.gcd(int(a), int(b)) for a, b in d))
+
+
+def convex_hull_features(hc, cfg):
+    """CONVEX_HULL_AREA / SOLIDITY / CIRCULARITY (convex_hull_nontriv.cpp:50-66)."""
+    n = len(hc.recs)
+    out = {k: np.zeros(n) for k in ("CONVEX_HULL_AREA", "SOLIDITY", "CIRCULARITY")}
+    perim = hc.get_feature("PERIMETER")
+    for i, r in enumerate(hc.recs):
+        ys, xs = hc.roi_points(i)
+        hull = build_convex_hull(xs, ys)
+        hc.hulls[i] = hull
+        s_hull = polygon_area(hull) + hull_boundary_points(hull) / 2.0 + 1.0
+        s_roi = r.area
+        out["CONVEX_HULL_AREA"][i] = s_hull
+        out["SOLIDITY"][i] = s_roi / s_hull if s_hull > 0 else 0.0
+        p = perim[i]
+        out["CIRCULARITY"][i] = (math.sqrt(4 * math.pi * s_roi / (p * p))
+                                 if p > 0 else 0.0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# calipers (caliper_feret.cpp, caliper_martin.cpp, caliper_nassenstein.cpp)
+
+def _rotate_fp(hull, theta_deg):
+    """rotate_around_center_fp (rotation.cpp): rotation around the hull's
+    centroid, float-precision."""
+    c = hull.mean(axis=0)
+    th = np.float32(theta_deg) * np.float32(math.pi) / np.float32(180.0)
+    s, co = math.sin(th), math.cos(th)
+    d = hull - c
+    return np.stack([d[:, 0] * co - d[:, 1] * s + c[0],
+                     d[:, 0] * s + d[:, 1] * co + c[1]], axis=1)
+
+
+def _common_stats(data):
+    """ComputeCommonStatistics2 (common_stats.cpp:9-50)."""
+    if len(data) == 0:
+        return dict(min=0.0, max=0.0, mean=0.0, median=0.0, stdev=0.0, mode=0.0)
+    data = np.asarray(data, np.float64)
+    mx, mn = data.max(), data.min()
+    mean = data.mean()
+    stdev = math.sqrt(((data - mean) ** 2).sum() / len(data))
+    imax, imin = int(math.ceil(mx)), int(math.floor(mn))
+    bins = np.zeros(imax - imin + 1, np.int64)
+    for v in data:
+        bins[int(v) - imin] += 1
+    # first strictly-greater scan (common_stats.cpp:29-33)
+    best, bi = 0, -1
+    for k, c in enumerate(bins):
+        if c > best:
+            best, bi = c, k
+    mode = bi + imin
+    s = np.sort(data)
+    half = len(s) // 2
+    median = s[half] if len(s) % 2 else (s[half] + s[half - 1]) / 2.0
+    return dict(min=mn, max=mx, mean=mean, median=median, stdev=stdev, mode=mode)
+
+
+def _hull_width_at_y(poly, y):
+    n = len(poly)
+    have = False
+    xlo = xhi = 0.0
+    for i in range(n):
+        a, b = poly[i], poly[(i + 1) % n]
+        lo, hi = min(a[1], b[1]), max(a[1], b[1])
+        if y < lo or y > hi:
+            continue
+        if b[1] != a[1]:
+            x = a[0] + (b[0] - a[0]) * (y - a[1]) / (b[1] - a[1])
+            e0 = e1 = x
+        else:
+            e0, e1 = min(a[0], b[0]), max(a[0], b[0])
+        if not have:
+            xlo, xhi, have = e0, e1, True
+        else:
+            xlo, xhi = min(xlo, e0), max(xhi, e1)
+    return (xhi - xlo) if have else 0.0
+
+
+def caliper_feret(hc, cfg):
+    n = len(hc.recs)
+    nv = cfg.noval
+    names = ("MIN_FERET_ANGLE", "MAX_FERET_ANGLE", "STAT_FERET_DIAM_MIN",
+             "STAT_FERET_DIAM_MAX", "STAT_FERET_DIAM_MEAN",
+             "STAT_FERET_DIAM_MEDIAN", "STAT_FERET_DIAM_STDDEV",
+             "STAT_FERET_DIAM_MODE")
+    out = {k: np.full(n, nv) for k in names}
+    for i in range(n):
+        hull = hc.hulls[i]
+        if hull is None or len(hull) == 0:
+            continue
+        angles, ferets = [], []
+        th = 0.0
+        while th <= 180.0:
+            rot = _rotate_fp(hull, th)
+            feret = rot[:, 0].max() - rot[:, 0].min()
+            if feret > 0:
+                angles.append(th)
+                ferets.append(feret)
+            th += 10.0
+        if not ferets:
+            continue
+        ferets = np.asarray(ferets)
+        st = _common_stats(ferets)
+        out["MIN_FERET_ANGLE"][i] = angles[int(np.argmin(ferets))]
+        out["MAX_FERET_ANGLE"][i] = angles[int(np.argmax(ferets))]
+        out["STAT_FERET_DIAM_MIN"][i] = st["min"]
+        out["STAT_FERET_DIAM_MAX"][i] = st["max"]
+        out["STAT_FERET_DIAM_MEAN"][i] = st["mean"]
+        out["STAT_FERET_DIAM_MEDIAN"][i] = st["median"]
+        out["STAT_FERET_DIAM_STDDEV"][i] = st["stdev"]
+        out["STAT_FERET_DIAM_MODE"][i] = st["mode"]
+    return out
+
+
+def caliper_martin(hc, cfg):
+    n = len(hc.recs)
+    out = {k: np.full(n, cfg.noval) for k in (
+        "STAT_MARTIN_DIAM_MIN", "STAT_MARTIN_DIAM_MAX", "STAT_MARTIN_DIAM_MEAN",
+        "STAT_MARTIN_DIAM_MEDIAN", "STAT_MARTIN_DIAM_STDDEV",
+        "STAT_MARTIN_DIAM_MODE")}
+    NGRID = 100
+    for i in range(n):
+        hull = hc.hulls[i]
+        if hull is None or len(hull) == 0:
+            continue
+        D = []
+        th = 0.0
+        while th < 180.0:
+            rot = _rotate_fp(hull, th)
+            miny, maxy = rot[:, 1].min(), rot[:, 1].max()
+            th += 10.0
+            if maxy <= miny:
+                continue
+            stepy = (maxy - miny) / NGRID
+            yy = miny + (np.arange(NGRID) + 0.5) * stepy
+            widths = np.array([_hull_width_at_y(rot, y) for y in yy])
+            total = widths.sum()
+            if total <= 0:
+                continue
+            cum = np.cumsum(widths)
+            k = int(np.argmax(cum >= 0.5 * total))
+            D.append(widths[k])
+        if not D:
+            continue
+        st = _common_stats(np.asarray(D))
+        out["STAT_MARTIN_DIAM_MIN"][i] = st["min"]
+        out["STAT_MARTIN_DIAM_MAX"][i] = st["max"]
+        out["STAT_MARTIN_DIAM_MEAN"][i] = st["mean"]
+        out["STAT_MARTIN_DIAM_MEDIAN"][i] = st["median"]
+        out["STAT_MARTIN_DIAM_STDDEV"][i] = st["stdev"]
+        out["STAT_MARTIN_DIAM_MODE"][i] = st["mode"]
+    return out
+
+
+def _hull_height_at_x(poly, x):
+    n = len(poly)
+    have = False
+    ylo = yhi = 0.0
+    for i in range(n):
+        a, b = poly[i], poly[(i + 1) % n]
+        lo, hi = min(a[0], b[0]), max(a[0], b[0])
+        if x < lo or x > hi:
+            continue
+        if b[0] != a[0]:
+            y = a[1] + (b[1] - a[1]) * (x - a[0]) / (b[0] - a[0])
+            e0 = e1 = y
+        else:
+            e0, e1 = min(a[1], b[1]), max(a[1], b[1])
+        if not have:
+            ylo, yhi, have = e0, e1, True
+        else:
+            ylo, yhi = min(ylo, e0), max(yhi, e1)
+    return (yhi - ylo) if have else 0.0
+
+
+def caliper_nassenstein(hc, cfg):
+    n = len(hc.recs)
+    out = {k: np.full(n, cfg.noval) for k in (
+        "STAT_NASSENSTEIN_DIAM_MIN", "STAT_NASSENSTEIN_DIAM_MAX",
+        "STAT_NASSENSTEIN_DIAM_MEAN", "STAT_NASSENSTEIN_DIAM_MEDIAN",
+        "STAT_NASSENSTEIN_DIAM_STDDEV", "STAT_NASSENSTEIN_DIAM_MODE")}
+    for i in range(n):
+        hull = hc.hulls[i]
+        if hull is None or len(hull) < 3:
+            continue
+        D = []
+        th = 0.0
+        while th < 180.0:
+            rot = _rotate_fp(hull, th)
+            th += 10.0
+            ymax = rot[:, 1].max()
+            sel = np.abs(rot[:, 1] - ymax) < 1e-3
+            xc = rot[sel, 0].sum() / max(sel.sum(), 1)
+            D.append(_hull_height_at_x(rot, xc))
+        if not D:
+            continue
+        st = _common_stats(np.asarray(D))
+        out["STAT_NASSENSTEIN_DIAM_MIN"][i] = st["min"]
+        out["STAT_NASSENSTEIN_DIAM_MAX"][i] = st["max"]
+        out["STAT_NASSENSTEIN_DIAM_MEAN"][i] = st["mean"]
+        out["STAT_NASSENSTEIN_DIAM_MEDIAN"][i] = st["median"]
+        out["STAT_NASSENSTEIN_DIAM_STDDEV"][i] = st["stdev"]
+        out["STAT_NASSENSTEIN_DIAM_MODE"][i] = st["mode"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chords (chords.cpp:?-120)
+
+def chords(hc, cfg):
+    n = len(hc.recs)
+    names = ("MAXCHORDS_MAX", "MAXCHORDS_MAX_ANG", "MAXCHORDS_MIN",
+             "MAXCHORDS_MIN_ANG", "MAXCHORDS_MEDIAN", "MAXCHORDS_MEAN",
+             "MAXCHORDS_MODE", "MAXCHORDS_STDDEV", "ALLCHORDS_MAX",
+             "ALLCHORDS_MAX_ANG", "ALLCHORDS_MIN", "ALLCHORDS_MIN_ANG",
+             "ALLCHORDS_MEDIAN", "ALLCHORDS_MEAN", "ALLCHORDS_MODE",
+             "ALLCHORDS_STDDEV")
+    out = {k: np.full(n, -0.0) for k in names}
+    n_angle_segments, n_side_segments = 20, 100
+    ang_step = math.pi / n_angle_segments
+    for i, r in enumerate(hc.recs):
+        ys, xs = hc.roi_points(i)
+        cenx = (r.x0 + r.x1) / 2.0
+        ceny = (r.y0 + r.y1) / 2.0
+        gx = xs + r.x0
+        gy = ys + r.y0
+        AC, ACang, MC, MCang = [], [], [], []
+        ang = 0.0
+        while ang < math.pi:
+            s, c = math.sin(ang), math.cos(ang)
+            # rotate_cloud + Pixel2(float) truncation toward zero
+            xr = ((gx - cenx) * c - (gy - ceny) * s + cenx).astype(np.float32)
+            yr = ((gy - ceny) * c + (gx - cenx) * s + ceny).astype(np.float32)
+            xi = xr.astype(np.int64)
+            yi = yr.astype(np.int64)
+            x0r, y0r = xi.min(), yi.min()
+            wr = xi.max() - x0r + 1
+            hr = yi.max() - y0r + 1
+            img = np.zeros((hr, wr), bool)
+            img[yi - y0r, xi - x0r] = True
+            step = wr // n_side_segments if wr >= 2 * n_side_segments else 1
+            TC = []
+            for col in range(0, wr, step):
+                colv = img[:, col]
+                # longest contiguous run (get_chlen)
+                best = cur = 0
+                for v in colv:
+                    if v:
+                        cur += 1
+                        best = max(best, cur)
+                    else:
+                        cur = 0
+                if best > 0:
+                    TC.append(best)
+                    AC.append(best)
+                    ACang.append(ang)
+            if TC:
+                MC.append(max(TC))
+                MCang.append(ang)
+            ang += ang_step
+        if not MC:
+            continue
+        for pre, V, A in (("MAXCHORDS", MC, MCang), ("ALLCHORDS", AC, ACang)):
+            V = np.asarray(V, np.float64)
+            mean = V.mean()
+            std = math.sqrt(((V - mean) ** 2).sum() / (len(V) - 1)) if len(V) > 2 else 0.0
+            sv = np.sort(V)
+            half = len(sv) // 2
+            median = sv[half] if len(sv) % 2 else (sv[half - 1] + sv[half]) / 2.0
+            vals, counts = np.unique(V, return_counts=True)
+            mode = vals[int(np.argmax(counts))]
+            out[pre + "_MAX"][i] = V.max()
+            out[pre + "_MIN"][i] = V.min()
+            out[pre + "_MEAN"][i] = mean
+            out[pre + "_STDDEV"][i] = std
+            out[pre + "_MEDIAN"][i] = median
+            out[pre + "_MODE"][i] = mode
+            out[pre + "_MIN_ANG"][i] = A[int(np.argmin(V))]
+            out[pre + "_MAX_ANG"][i] = A[int(np.argmax(V))]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# circles (circle.cpp) -- exact Welzl min enclosing circle in double
+
+def _min_enclosing_circle(pts):
+    import random
+    rnd = random.Random(0)
+    P = [tuple(p) for p in pts]
+    rnd.shuffle(P)
+
+    def circle2(a, b):
+        c = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        r = math.hypot(a[0] - b[0], a[1] - b[1]) / 2.0
+        return c, r
+
+    def circle3(a, b, c):
+        ax, ay = a; bx, by = b; cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+              + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+              + (cx**2 + cy**2) * (bx - ax)) / d
+        ctr = (ux, uy)
+        return ctr, math.hypot(ax - ux, ay - uy)
+
+    def inside(c, p):
+        return c is not None and math.hypot(p[0] - c[0][0], p[1] - c[0][1]) <= c[1] + 1e-10
+
+    c = None
+    for idx, p in enumerate(P):
+        if inside(c, p):
+            continue
+        c = (p, 0.0)
+        for j, q in enumerate(P[:idx]):
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k, t in enumerate(P[:j]):
+                if inside(c, t):
+                    continue
+                cc = circle3(p, q, t)
+                if cc is not None:
+                    c = cc
+    return c
+
+
+def circle_features(hc, cfg):
+    n = len(hc.recs)
+    out = {k: np.zeros(n) for k in ("DIAMETER_MIN_ENCLOSING_CIRCLE",
+                                    "DIAMETER_INSCRIBING_CIRCLE",
+                                    "DIAMETER_CIRCUMSCRIBING_CIRCLE")}
+    cenx = hc.get_feature("CENTROID_X")
+    ceny = hc.get_feature("CENTROID_Y")
+    for i, r in enumerate(hc.recs):
+        K = hc.contours[i]
+        if K is None or K.shape[0] == 0:
+            continue
+        # contour coords -> global (+1 shift retained, reference frame)
+        pts = K[:, :2].astype(np.float64)
+        pts[:, 0] += r.x0
+        pts[:, 1] += r.y0
+        c = _min_enclosing_circle(pts)
+        out["DIAMETER_MIN_ENCLOSING_CIRCLE"][i] = 2 * c[1] if c else 0.0
+        # inscribing/circumscribing: distances to centroid-1 (circle.cpp:?)
+        dx = pts[:, 0] - (cenx[i] - 1)
+        dy = pts[:, 1] - (ceny[i] - 1)
+        d = np.sqrt(dx * dx + dy * dy)
+        out["DIAMETER_INSCRIBING_CIRCLE"][i] = 2 * d.min()
+        out["DIAMETER_CIRCUMSCRIBING_CIRCLE"][i] = 2 * d.max()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# geodetic length & thickness (geo_len_thickness.cpp)
+
+def geodetic_features(hc, cfg):
+    n = len(hc.recs)
+    perim = hc.get_feature("PERIMETER")
+    gl = np.zeros(n)
+    th = np.zeros(n)
+    for i, r in enumerate(hc.recs):
+        p = perim[i]
+        sq = max(p * p / 16 - r.area, 0.0)
+        gl[i] = p / 4 + math.sqrt(sq)
+        th[i] = p / 2 - gl[i]
+    return {"GEODETIC_LENGTH": gl, "THICKNESS": th}
+
+
+# ---------------------------------------------------------------------------
+# neighbors + hexagonality (neighbors.cpp, hexagonality_polygonality.cpp)
+
+def neighbors_features(hc, cfg):
+    n = len(hc.recs)
+    radius = cfg.pixel_distance
+    radius2 = radius * radius
+    out = {k: np.zeros(n) for k in (
+        "NUM_NEIGHBORS", "PERCENT_TOUCHING", "CLOSEST_NEIGHBOR1_DIST",
+        "CLOSEST_NEIGHBOR1_ANG", "CLOSEST_NEIGHBOR2_DIST",
+        "CLOSEST_NEIGHBOR2_ANG", "ANG_BW_NEIGHBORS_MEAN",
+        "ANG_BW_NEIGHBORS_STDDEV", "ANG_BW_NEIGHBORS_MODE")}
+
+    # global contour point arrays
+    KG = []
+    for i, r in enumerate(hc.recs):
+        K = hc.contours[i]
+        if K is None or K.shape[0] == 0:
+            KG.append(np.zeros((0, 2)))
+            continue
+        pts = K[:, :2].astype(np.float64)
+        pts[:, 0] += r.x0
+        pts[:, 1] += r.y0
+        KG.append(pts)
+
+    neigh_lists = [[] for _ in range(n)]
+    touch_masks = [np.zeros(len(KG[i]), bool) for i in range(n)]
+
+    # collision pairs by AABB-with-radius overlap, upper triangle
+    for i1 in range(n):
+        r1 = hc.recs[i1]
+        for i2 in range(i1 + 1, n):
+            r2 = hc.recs[i2]
+            if (r1.x0 - radius > r2.x1 or r1.x1 + radius < r2.x0 or
+                    r1.y0 - radius > r2.y1 or r1.y1 + radius < r2.y0):
+                continue
+            K1, K2 = KG[i1], KG[i2]
+            if len(K1) == 0 or len(K2) == 0:
+                continue
+            d2 = ((K1[:, None, :] - K2[None, :, :]) ** 2).sum(-1)
+            mind = d2.min()
+            touch_masks[i1] |= d2.min(axis=1) <= 2.0
+            touch_masks[i2] |= d2.min(axis=0) <= 2.0
+            if mind > radius2:
+                continue
+            out["NUM_NEIGHBORS"][i1] += 1
+            out["NUM_NEIGHBORS"][i2] += 1
+            neigh_lists[i1].append(i2)
+            neigh_lists[i2].append(i1)
+
+    for i in range(n):
+        if len(KG[i]):
+            out["PERCENT_TOUCHING"][i] = 100.0 * touch_masks[i].sum() / len(KG[i])
+
+    cenx = hc.get_feature("CENTROID_X")
+    ceny = hc.get_feature("CENTROID_Y")
+
+    def dir_ang(x1, y1, x2, y2):
+        a = math.degrees(math.atan2(y2 - y1, x2 - x1))
+        return a + 360.0 if a < 0 else a
+
+    for i in range(n):
+        lst = neigh_lists[i]
+        if not lst:
+            continue
+        dists = [math.hypot(cenx[i] - cenx[j], ceny[i] - ceny[j]) for j in lst]
+        k1 = int(np.argmin(dists))
+        out["CLOSEST_NEIGHBOR1_DIST"][i] = dists[k1]
+        out["CLOSEST_NEIGHBOR1_ANG"][i] = dir_ang(cenx[i], ceny[i],
+                                                  cenx[lst[k1]], ceny[lst[k1]])
+        if len(lst) > 1:
+            d2_ = list(dists)
+            d2_[k1] = float("inf")
+            k2 = int(np.argmin(d2_))
+            out["CLOSEST_NEIGHBOR2_DIST"][i] = dists[k2]
+            out["CLOSEST_NEIGHBOR2_ANG"][i] = dir_ang(cenx[i], ceny[i],
+                                                      cenx[lst[k2]], ceny[lst[k2]])
+        angs = [dir_ang(cenx[i], ceny[i], cenx[j], ceny[j]) for j in lst]
+        mean = float(np.mean(angs))
+        std = (math.sqrt(((np.asarray(angs) - mean) ** 2).sum() / (len(angs) - 1))
+               if len(angs) > 2 else 0.0)
+        counts = np.zeros(361, np.int64)
+        for a in angs:
+            counts[max(0, min(360, int(round(a))))] += 1
+        out["ANG_BW_NEIGHBORS_MEAN"][i] = mean
+        out["ANG_BW_NEIGHBORS_STDDEV"][i] = std
+        out["ANG_BW_NEIGHBORS_MODE"][i] = int(np.argmax(counts))
+    return out
+
+
+def hexagonality_features(hc, cfg):
+    """HexagonalityPolygonalityFeature (hexagonality_polygonality.cpp:14-120)."""
+    n = len(hc.recs)
+    NOVAL = -1.0
+    out = {k: np.full(n, NOVAL) for k in
+           ("POLYGONALITY_AVE", "HEXAGONALITY_AVE", "HEXAGONALITY_STDDEV")}
+    neighbors = hc.get_feature("NUM_NEIGHBORS")
+    perim_a = hc.get_feature("PERIMETER")
+    hull_a = hc.get_feature("CONVEX_HULL_AREA")
+    fmin = hc.get_feature("STAT_FERET_DIAM_MIN")
+    fmax = hc.get_feature("STAT_FERET_DIAM_MAX")
+    for i, r in enumerate(hc.recs):
+        nb = int(neighbors[i])
+        if nb <= 2:
+            continue
+        area = float(r.area)
+        perimeter = perim_a[i]
+        area_hull = hull_a[i]
+        perim_hull = 6 * math.sqrt(area_hull / (1.5 * math.sqrt(3)))
+        pn = perimeter / nb
+        poly_size = 1.0 - abs(1.0 - pn / math.sqrt(4 * area / (nb / math.tan(math.pi / nb))))
+        poly_area = 1.0 - abs(1.0 - area / (0.25 * nb * pn * pn / math.tan(math.pi / nb)))
+        out["POLYGONALITY_AVE"][i] = 10 * (poly_size + poly_area) / 2
+
+        ap1 = math.sqrt(3) * perimeter / 12
+        ap2 = math.sqrt(3) * fmax[i] / 4
+        ap3 = fmin[i] / 2
+        s1 = perimeter / 6
+        s2 = fmax[i] / 2
+        s3 = fmin[i] / math.sqrt(3)
+        s4 = perim_hull / 6
+        areas = [0.5 * 3 * math.sqrt(3) * s1 * s1,
+                 0.5 * 3 * math.sqrt(3) * s2 * s2,
+                 0.5 * 3 * math.sqrt(3) * s3 * s3,
+                 3 * s1 * ap2, 3 * s1 * ap3, 3 * s2 * ap3,
+                 3 * s4 * ap1, 3 * s4 * ap2, 3 * s4 * ap3,
+                 area_hull, area]
+        ratios = []
+        for ib in range(len(areas)):
+            for ic in range(ib + 1, len(areas)):
+                rr = 1.0 - abs(1.0 - areas[ib] / areas[ic]) if areas[ic] else float("nan")
+                if math.isfinite(rr):
+                    ratios.append(rr)
+        am = float(np.mean(ratios))
+        asd = math.sqrt(float(np.mean((np.asarray(ratios) - am) ** 2)))
+
+        ap4 = math.sqrt(3) * perim_hull / 12
+        ap5 = math.sqrt(4 * area_hull / (4.5 * math.sqrt(3)))
+        perims = [math.sqrt(24 * area / math.sqrt(3)),
+                  math.sqrt(24 * area_hull / math.sqrt(3)),
+                  perimeter, perim_hull, 3 * fmax[i],
+                  6 * fmin[i] / math.sqrt(3),
+                  2 * area / ap1, 2 * area / ap2, 2 * area / ap3,
+                  2 * area / ap4, 2 * area / ap5,
+                  2 * area_hull / ap1, 2 * area_hull / ap2, 2 * area_hull / ap3]
+        pratios = []
+        for ib in range(len(perims)):
+            for ic in range(ib + 1, len(perims)):
+                pratios.append(1.0 - abs(1.0 - perims[ib] / perims[ic]))
+        pm = float(np.mean(pratios))
+        psd = math.sqrt(float(np.mean((np.asarray(pratios) - pm) ** 2)))
+
+        out["HEXAGONALITY_AVE"][i] = 10 * (am + pm) / 2
+        out["HEXAGONALITY_STDDEV"][i] = math.sqrt((asd * asd + psd * psd) / 2)
+    return out

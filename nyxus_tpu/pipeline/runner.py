@@ -39,13 +39,29 @@ def _extract_bucket(intens, mask, area, vmin, vmax, y0, x0, heights, widths,
 
 
 class HostContext:
-    """Inputs for host-side (sequential/contour) families."""
+    """Inputs for host-side (sequential/contour) families.
 
-    def __init__(self, recs, contours, intens, label_img):
+    Host families run after device families and after earlier host families,
+    so they may read previously computed features via ``get_feature``
+    (the reference's fvals-mediated dependencies, e.g. hexagonality reading
+    NUM_NEIGHBORS and STAT_FERET_DIAM_*)."""
+
+    def __init__(self, recs, contours, intens, label_img, get_feature):
         self.recs = recs            # all RoiRecords of the pair
         self.contours = contours    # merged contour per ROI, local +1 coords
         self.intens = intens
         self.label_img = label_img
+        self.get_feature = get_feature   # display/member name -> np [N]
+        self.hulls = [None] * len(recs)  # filled by the convex-hull family
+        self._points = {}
+
+    def roi_points(self, i):
+        """(ys, xs) LOCAL pixel coordinates of ROI i."""
+        if i not in self._points:
+            r = self.recs[i]
+            sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
+            self._points[i] = np.nonzero(self.label_img[sl] == r.label)
+        return self._points[i]
 
 
 def _crop_batch(padded_intens, padded_labels, recs, shape, dtype):
@@ -72,14 +88,30 @@ class PairRunner:
         self.families = registry.families_for(fset)
         self._device_needs_contour = any(
             registry.FAMILIES[f].needs_contour for f in self.families)
-        _, self.slots = col.build_header(fset, cfg)
+
+        # internal feature set: user features + everything computed by the
+        # dependency-closed family set (the reference computes whole dependent
+        # methods into fvals; only user features reach the output)
+        internal = tx.FeatureSet()
+        internal.enabled |= fset.enabled
+        for name in registry.activated_families(fset):
+            for c in registry.FAMILIES[name].codes:
+                internal.enabled[c] = True
+        _, self.slots = col.build_header(internal, cfg)
         self.n_values = sum(w for _, w in self.slots)
-        # member-name -> (slot offset, width) for assembly
         self.member_slots = {}
         off = 0
         for code, width in self.slots:
             self.member_slots[code] = (off, width)
             off += width
+
+        # user-facing output column selection
+        _, user_slots = col.build_header(fset, cfg)
+        self._out_cols = []
+        for code, width in user_slots:
+            o, _ = self.member_slots[code]
+            self._out_cols.extend(range(o, o + width))
+        self._out_cols = np.asarray(self._out_cols, np.int64)
 
     def run(self, intens: np.ndarray, label_img: np.ndarray):
         """Returns (labels[int], values[N, n_values]) for all ROIs, ascending
@@ -88,7 +120,7 @@ class PairRunner:
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, dtype=np.float64)
         if n == 0:
-            return np.zeros(0, np.int64), values
+            return np.zeros(0, np.int64), values[:, self._out_cols]
 
         # host contour phase (reference: ContourFeature::buildRegularContour)
         contours = None
@@ -151,17 +183,25 @@ class PairRunner:
             out = jax.device_get(out)
             self._scatter(values, idxs, out)
 
-        # host families (contour statistics etc.)
+        # host families (contour statistics etc.); ordered so later families
+        # can read earlier results (hexagonality <- neighbors/feret/hull)
         host_fams = registry.host_families_for(self.fset)
         if host_fams:
-            hc = HostContext(recs, contours, intens, label_img)
+            def get_feature(member):
+                code = tx.NAME2CODE_2D.get(member)
+                if code is None or code not in self.member_slots:
+                    return np.zeros(n)
+                off, _ = self.member_slots[code]
+                return values[:, off]
+
+            hc = HostContext(recs, contours, intens, label_img, get_feature)
             for name in host_fams:
                 fam = registry.FAMILIES[name]
                 members = fam.host_fn(hc, self.cfg)
                 self._scatter(values, list(range(n)), {name: members})
 
         labs = np.asarray([r.label for r in recs], np.int64)
-        return labs, values
+        return labs, values[:, self._out_cols]
 
     def _scatter(self, values, idxs, out):
         """Place family outputs into the row value matrix."""

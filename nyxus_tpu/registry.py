@@ -110,6 +110,7 @@ class Family:
     domain: str = "2d"                 # member-name enum domain: 2d|3d|imq
     host_fn: typing.Callable = None    # host: (hostctx, cfg) -> {member: [N]}
     needs_contour: bool = False        # device kernel consumes contour arrays
+    deps: typing.Tuple[str, ...] = ()  # dependency feature member names
 
     def member_code(self, member: str):
         table = {"2d": tx.F2D, "3d": tx.F3D, "imq": tx.FIMQ}[self.domain]
@@ -120,27 +121,45 @@ FAMILIES: dict = {}
 
 
 def register(name: str, fn=None, extra_codes=(), domain="2d", host_fn=None,
-             needs_contour=False):
+             needs_contour=False, deps=()):
     codes = tuple(tx.CLASS_FEATURES.get(name, ())) + tuple(extra_codes)
-    FAMILIES[name] = Family(name, codes, fn, domain, host_fn, needs_contour)
+    FAMILIES[name] = Family(name, codes, fn, domain, host_fn, needs_contour,
+                            tuple(deps))
     return fn
 
 
+def activated_families(fset: tx.FeatureSet):
+    """Dependency closure of families needed for the enabled feature set
+    (the reference's build_user_requested_set, feature_mgr.cpp:?).
+    Returns names in registration order."""
+    active = {n for n, fam in FAMILIES.items() if fset.any_enabled(fam.codes)}
+    changed = True
+    while changed:
+        changed = False
+        for name in list(active):
+            for dep_member in FAMILIES[name].deps:
+                dep_code = tx.NAME2CODE_2D.get(dep_member)
+                for n2, fam2 in FAMILIES.items():
+                    if n2 not in active and dep_code in fam2.codes:
+                        active.add(n2)
+                        changed = True
+    return tuple(n for n in FAMILIES if n in active)
+
+
 def families_for(fset: tx.FeatureSet):
-    """Names of device families providing at least one enabled feature."""
-    return tuple(n for n, fam in FAMILIES.items()
-                 if fam.fn is not None and fset.any_enabled(fam.codes))
+    """Names of activated device families (dependency closure included)."""
+    return tuple(n for n in activated_families(fset)
+                 if FAMILIES[n].fn is not None)
 
 
 def host_families_for(fset: tx.FeatureSet):
-    return tuple(n for n, fam in FAMILIES.items()
-                 if fam.host_fn is not None and fset.any_enabled(fam.codes))
+    return tuple(n for n in activated_families(fset)
+                 if FAMILIES[n].host_fn is not None)
 
 
 def contour_needed(fset: tx.FeatureSet):
-    return any(fset.any_enabled(fam.codes)
-               for fam in FAMILIES.values()
-               if fam.needs_contour or fam.host_fn is not None)
+    return any(FAMILIES[n].needs_contour or FAMILIES[n].host_fn is not None
+               for n in activated_families(fset))
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +333,8 @@ def _erosion_family(ctx, cfg):
         ctx.mask, ctx.heights, ctx.widths, ctx.intens.dtype)}
 
 
-register("ErosionPixelsFeature", _erosion_family)
+register("ErosionPixelsFeature", _erosion_family,
+         deps=("CONVEX_HULL_AREA",))
 
 
 def _euler_family(ctx, cfg):
@@ -332,7 +352,34 @@ def _fractal_family(ctx, cfg):
 
 
 register("FractalDimensionFeature", _fractal_family,
-         host_fn=lambda hc, cfg: _fractal_perimeter_host(hc, cfg))
+         host_fn=lambda hc, cfg: _fractal_perimeter_host(hc, cfg),
+         deps=("PERIMETER",))
+
+
+def _extrema_family(ctx, cfg):
+    from .ops import radial
+    return radial.extrema(ctx, cfg)
+
+
+register("ExtremaFeature", _extrema_family)
+
+
+def _roi_radius_family(ctx, cfg):
+    from .ops import radial
+    return radial.roi_radius(ctx, cfg)
+
+
+register("RoiRadiusFeature", _roi_radius_family, needs_contour=True,
+         deps=("PERIMETER",))
+
+
+def _radial_family(ctx, cfg):
+    from .ops import radial
+    return radial.radial_distribution(ctx, cfg)
+
+
+register("RadialDistributionFeature", _radial_family, needs_contour=True,
+         deps=("PERIMETER",))
 
 
 # Smoms uses the legacy member names (SPAT_MOMENT_*, HU_M*, ...) while Imoms
@@ -370,8 +417,10 @@ def _moments_family(prefix):
     return fn
 
 
-register("Imoms2D_feature", _moments_family("IMOM"), needs_contour=True)
-register("Smoms2D_feature", _moments_family("SMOM"), needs_contour=True)
+register("Imoms2D_feature", _moments_family("IMOM"), needs_contour=True,
+         deps=("PERIMETER",))
+register("Smoms2D_feature", _moments_family("SMOM"), needs_contour=True,
+         deps=("PERIMETER",))
 
 
 # ---------------------------------------------------------------------------
@@ -405,6 +454,35 @@ def _contour_host(hc, cfg):
 
 
 register("ContourFeature", host_fn=_contour_host)
+
+
+def _hf(fn_name):
+    def fn(hc, cfg):
+        from .pipeline import hostfeats
+        return getattr(hostfeats, fn_name)(hc, cfg)
+    return fn
+
+
+register("ConvexHullFeature", host_fn=_hf("convex_hull_features"),
+         deps=("PERIMETER",))
+register("CaliperFeretFeature", host_fn=_hf("caliper_feret"),
+         deps=("CONVEX_HULL_AREA",))
+register("CaliperMartinFeature", host_fn=_hf("caliper_martin"),
+         deps=("CONVEX_HULL_AREA",))
+register("CaliperNassensteinFeature", host_fn=_hf("caliper_nassenstein"),
+         deps=("CONVEX_HULL_AREA",))
+register("ChordsFeature", host_fn=_hf("chords"))
+register("EnclosingInscribingCircumscribingCircleFeature",
+         host_fn=_hf("circle_features"),
+         deps=("PERIMETER", "CENTROID_X", "CENTROID_Y"))
+register("GeodeticLengthThicknessFeature", host_fn=_hf("geodetic_features"),
+         deps=("AREA_PIXELS_COUNT", "PERIMETER"))
+register("NeighborsFeature", host_fn=_hf("neighbors_features"),
+         deps=("CENTROID_X", "CENTROID_Y"))
+register("HexagonalityPolygonalityFeature",
+         host_fn=_hf("hexagonality_features"),
+         deps=("NUM_NEIGHBORS", "PERIMETER", "CONVEX_HULL_AREA",
+               "STAT_FERET_DIAM_MAX", "STAT_FERET_DIAM_MIN"))
 
 
 def _fractal_perimeter_host(hc, cfg):
