@@ -423,6 +423,25 @@ register("Smoms2D_feature", _moments_family("SMOM"), needs_contour=True,
          deps=("PERIMETER",))
 
 
+def _gabor_family(ctx, cfg):
+    from .ops import gabor as ops_gabor
+    return ops_gabor.gabor_features(ctx.masked_intens, ctx.aabb_mask,
+                                    ctx.vmin, ctx.vmax, cfg, ctx.intens.dtype)
+
+
+register("GaborFeature", _gabor_family)
+
+
+def _zernike_family(ctx, cfg):
+    from .ops import zernike as ops_zernike
+    return ops_zernike.zernike_features(
+        ctx.masked_intens, ctx.heights, ctx.widths, ctx.vmin, ctx.vmax,
+        cfg.noval, ctx.intens.dtype)
+
+
+register("ZernikeFeature", _zernike_family)
+
+
 # ---------------------------------------------------------------------------
 # Host families (sequential / contour-based; reference runs these on CPU too)
 
