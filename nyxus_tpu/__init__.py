@@ -6,9 +6,9 @@ per segmented ROI or whole slide, batched over padded ROI tensors on TPU,
 sharded over device meshes for scale-out.
 """
 
-from .api import Nyxus
+from .api import ImageQuality, Nyxus
 from .config import EngineConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["Nyxus", "EngineConfig", "__version__"]
+__all__ = ["Nyxus", "ImageQuality", "EngineConfig", "__version__"]

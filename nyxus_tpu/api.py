@@ -45,6 +45,64 @@ def _force_finite(values: np.ndarray, noval: float) -> np.ndarray:
     return out
 
 
+class ImageQuality:
+    """Image-quality feature extractor (reference: nyxus.py:1468-2188).
+
+    Runs the IMQ family over whole images (a virtual ROI covering every
+    pixel) or per labeled ROI when a label image is supplied."""
+
+    _valid_output_types = list(_VALID_OUTPUT_TYPES)
+
+    def __init__(self, features=("*ALL_IMQ*",), **kwargs):
+        self.features = list(features)
+        cfg = EngineConfig()
+        updates = {k2: v for k, v in kwargs.items()
+                   if (k2 := _KWARG_MAP.get(k)) is not None and v is not None}
+        self.cfg = cfg.replace(**updates)
+        self.fset = tx.parse_feature_request(self.features, imq=True)
+        self.header, _ = col.build_header(self.fset, self.cfg)
+        self._runner = PairRunner(self.fset, self.cfg)
+
+    def featurize(self, intensity_images: np.ndarray, label_images=None,
+                  intensity_names: list = [], label_names: list = []):
+        if intensity_images.ndim == 2:
+            intensity_images = intensity_images[None]
+            if label_images is not None and label_images.ndim == 2:
+                label_images = label_images[None]
+        n_img = intensity_images.shape[0]
+        if label_images is None:
+            label_images = np.ones_like(intensity_images, np.int32)
+        if not intensity_names:
+            intensity_names = ["Intensity%d" % i for i in range(n_img)]
+        if not label_names:
+            label_names = ["Segmentation%d" % i for i in range(n_img)]
+        I = intensity_images
+        if I.size and I.min() < 0:
+            I = I - I.min()
+        I = I.astype(np.uint32)
+        M = label_images.astype(np.uint32)
+        frames = []
+        for i in range(n_img):
+            labs, values = self._runner.run(I[i], M[i])
+            values = _force_finite(values, self.cfg.noval)
+            frames.append(_frame(self.header, intensity_names[i],
+                                 label_names[i], labs, values))
+        return pd.concat(frames, ignore_index=True)
+
+
+def _frame(header, int_name, seg_name, labs, values):
+    n = len(labs)
+    data = {
+        col.COL_INTENSITY: [int_name] * n,
+        col.COL_MASK: [seg_name] * n,
+        col.COL_LABEL: labs.astype(np.uint32),
+        col.COL_T: np.zeros(n),
+    }
+    for j, cname in enumerate(header[4:]):
+        data[cname] = values[:, j]
+    return pd.DataFrame(data)
+
+
 class Nyxus:
     """2D feature extractor (reference: nyxus.py:29-909)."""
 

@@ -111,6 +111,7 @@ class Family:
     host_fn: typing.Callable = None    # host: (hostctx, cfg) -> {member: [N]}
     needs_contour: bool = False        # device kernel consumes contour arrays
     deps: typing.Tuple[str, ...] = ()  # dependency feature member names
+    host_needs_contour: bool = True    # host fn reads hc.contours
 
     def member_code(self, member: str):
         table = {"2d": tx.F2D, "3d": tx.F3D, "imq": tx.FIMQ}[self.domain]
@@ -121,10 +122,10 @@ FAMILIES: dict = {}
 
 
 def register(name: str, fn=None, extra_codes=(), domain="2d", host_fn=None,
-             needs_contour=False, deps=()):
+             needs_contour=False, deps=(), host_needs_contour=True):
     codes = tuple(tx.CLASS_FEATURES.get(name, ())) + tuple(extra_codes)
     FAMILIES[name] = Family(name, codes, fn, domain, host_fn, needs_contour,
-                            tuple(deps))
+                            tuple(deps), host_needs_contour)
     return fn
 
 
@@ -158,7 +159,8 @@ def host_families_for(fset: tx.FeatureSet):
 
 
 def contour_needed(fset: tx.FeatureSet):
-    return any(FAMILIES[n].needs_contour or FAMILIES[n].host_fn is not None
+    return any(FAMILIES[n].needs_contour
+               or (FAMILIES[n].host_fn is not None and FAMILIES[n].host_needs_contour)
                for n in activated_families(fset))
 
 
@@ -502,6 +504,69 @@ register("HexagonalityPolygonalityFeature",
          host_fn=_hf("hexagonality_features"),
          deps=("NUM_NEIGHBORS", "PERIMETER", "CONVEX_HULL_AREA",
                "STAT_FERET_DIAM_MAX", "STAT_FERET_DIAM_MIN"))
+
+
+# ---------------------------------------------------------------------------
+# IMQ (image quality) families -- whole-slide oriented, host-side
+
+
+def _imq_crop(hc, i):
+    import numpy as np
+    r = hc.recs[i]
+    sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
+    return np.where(hc.label_img[sl] == r.label, hc.intens[sl], 0)
+
+
+def _focus_host(hc, cfg):
+    import numpy as np
+    from .ops import imq
+    n = len(hc.recs)
+    fs = np.zeros(n)
+    lfs = np.zeros(n)
+    for i in range(n):
+        fs[i], lfs[i] = imq.focus_score(_imq_crop(hc, i))
+    return {"FOCUS_SCORE": fs, "LOCAL_FOCUS_SCORE": lfs}
+
+
+register("FocusScoreFeature", host_fn=_focus_host, domain="imq",
+         host_needs_contour=False)
+
+
+def _powerspectrum_host(hc, cfg):
+    import numpy as np
+    from .ops import imq
+    return {"POWER_SPECTRUM_SLOPE": np.array(
+        [imq.power_spectrum_slope(_imq_crop(hc, i)) for i in range(len(hc.recs))])}
+
+
+register("PowerSpectrumFeature", host_fn=_powerspectrum_host, domain="imq",
+         host_needs_contour=False)
+
+
+def _saturation_host(hc, cfg):
+    import numpy as np
+    from .ops import imq
+    n = len(hc.recs)
+    mn = np.zeros(n)
+    mx = np.zeros(n)
+    for i in range(n):
+        mn[i], mx[i] = imq.saturation(_imq_crop(hc, i))
+    return {"MIN_SATURATION": mn, "MAX_SATURATION": mx}
+
+
+register("SaturationFeature", host_fn=_saturation_host, domain="imq",
+         host_needs_contour=False)
+
+
+def _sharpness_host(hc, cfg):
+    import numpy as np
+    from .ops import imq
+    return {"SHARPNESS": np.array(
+        [imq.sharpness(_imq_crop(hc, i)) for i in range(len(hc.recs))])}
+
+
+register("SharpnessFeature", host_fn=_sharpness_host, domain="imq",
+         host_needs_contour=False)
 
 
 def _fractal_perimeter_host(hc, cfg):
