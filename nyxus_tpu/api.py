@@ -124,6 +124,8 @@ class Nyxus:
             self.verbosity = kwargs["verbose"]
         self.cfg = cfg.replace(**updates)
         self.error_message = ""
+        from .blacklist import RoiBlacklist
+        self._blacklist = RoiBlacklist()
         self._compile()
 
     # -- setup ------------------------------------------------------------
@@ -193,6 +195,115 @@ class Nyxus:
         for j, cname in enumerate(self.header[4:]):
             data[cname] = values[:, j]
         return pd.DataFrame(data)
+
+    # -- file-based featurization ------------------------------------------
+
+    def featurize_directory(self, intensity_dir: str, label_dir: str = None,
+                            file_pattern: str = ".*",
+                            output_type: str = "pandas",
+                            output_path: str = ""):
+        """Extract features from all image pairs in a directory
+        (reference: nyxus.py:291-370)."""
+        import os
+        from .io import dataset as ds
+        from .io import readers
+
+        if not os.path.exists(intensity_dir):
+            raise IOError("Provided intensity image directory '%s' does not exist."
+                          % intensity_dir)
+        if label_dir is not None and not os.path.exists(label_dir):
+            raise IOError("Provided label image directory '%s' does not exist."
+                          % label_dir)
+        if label_dir is None:
+            label_dir = intensity_dir
+        if output_type not in self._valid_output_types:
+            raise ValueError("Invalid output type %s. Valid output types are %s."
+                             % (output_type, self._valid_output_types))
+
+        int_files, lab_files, wholeslide = ds.read_2d_dataset(
+            intensity_dir, label_dir, file_pattern)
+        frames = []
+        for ipath, lpath in zip(int_files, lab_files):
+            intens = readers.read_gray(ipath)
+            if wholeslide:
+                labmat = np.ones(intens.shape, np.uint32)
+            else:
+                labmat = readers.read_gray(lpath).astype(np.uint32)
+            I = self._prep_intensity(intens)
+            fname = os.path.basename(lpath or ipath)
+            labs, values = self._runner.run(I, labmat,
+                                            blacklist=self._blacklist,
+                                            fname=fname)
+            values = _force_finite(values, self.cfg.noval)
+            frames.append(self._to_frame(ipath, lpath, labs, values))
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            self._to_frame("", "", np.zeros(0, np.int64),
+                           np.zeros((0, len(self.header) - 4)))
+        if output_type == "pandas":
+            return df
+        from .io import writers
+        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        return self._arrow_path
+
+    def featurize_files(self, intensity_files, mask_files, single_roi=False,
+                        output_type: str = "pandas", output_path: str = ""):
+        """Extract features from explicit file-pair lists
+        (reference: nyxus.py:512-558)."""
+        import os
+        from .io import readers
+        frames = []
+        for k, ipath in enumerate(intensity_files):
+            intens = readers.read_gray(ipath)
+            if single_roi:
+                labmat = np.ones(intens.shape, np.uint32)
+                lpath = ipath
+            else:
+                lpath = mask_files[k]
+                labmat = readers.read_gray(lpath).astype(np.uint32)
+            I = self._prep_intensity(intens)
+            labs, values = self._runner.run(I, labmat,
+                                            blacklist=self._blacklist,
+                                            fname=os.path.basename(lpath))
+            values = _force_finite(values, self.cfg.noval)
+            frames.append(self._to_frame(ipath, lpath, labs, values))
+        df = pd.concat(frames, ignore_index=True)
+        if output_type == "pandas":
+            return df
+        from .io import writers
+        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        return self._arrow_path
+
+    def _prep_intensity(self, intens: np.ndarray) -> np.ndarray:
+        if intens.size and intens.min() < 0:
+            intens = intens - intens.min()
+        return intens.astype(np.uint32)
+
+    # -- ROI blacklist (reference: nyxus.py:771-830) -----------------------
+
+    def blacklist_roi(self, raw: str):
+        self._blacklist.parse_raw_string(raw)
+
+    def clear_roi_blacklist(self):
+        self._blacklist.clear()
+
+    def roi_blacklist_get_summary(self) -> str:
+        return self._blacklist.summary()
+
+    # -- Arrow accessors ----------------------------------------------------
+
+    def get_arrow_ipc_file(self):
+        return getattr(self, "_arrow_path", "")
+
+    def get_parquet_file(self):
+        return getattr(self, "_arrow_path", "")
+
+    @staticmethod
+    def arrow_is_enabled():
+        try:
+            import pyarrow  # noqa: F401
+            return True
+        except ImportError:
+            return False
 
     # -- parameter access (reference: nyxus.py:560-770) -------------------
 

@@ -1,0 +1,50 @@
+"""Dataset assembly: directory scan + file-pattern match + int/seg pairing.
+
+Reference: src/nyx/dirs_and_files.cpp:49-180 (read_2D_dataset).  Files are
+selected by a regex file pattern in both directories, sorted, and paired by
+identical filenames; whole-slide mode when the label dir is empty or equals
+the intensity dir.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+
+def list_files(directory: str, file_pattern: str = ".*"):
+    rx = re.compile(file_pattern)
+    out = []
+    for name in sorted(os.listdir(directory)):
+        p = os.path.join(directory, name)
+        if os.path.isfile(p) and rx.fullmatch(name):
+            out.append(p)
+    return out
+
+
+def read_2d_dataset(int_dir: str, seg_dir: str, file_pattern: str = ".*"):
+    """Returns (intens_files, label_files, wholeslide). label entries are ""
+    in whole-slide mode."""
+    if not os.path.isdir(int_dir):
+        raise IOError("cannot access directory " + int_dir)
+    intens = list_files(int_dir, file_pattern)
+    wholeslide = (not seg_dir) or os.path.abspath(seg_dir) == os.path.abspath(int_dir)
+    if wholeslide:
+        return intens, [""] * len(intens), True
+    if not os.path.isdir(seg_dir):
+        raise IOError("cannot access directory " + seg_dir)
+    labels = list_files(seg_dir, file_pattern)
+    if not intens or not labels:
+        raise ValueError(
+            "no intensity and/or label files to process, probably due to "
+            "file pattern " + file_pattern)
+    if len(intens) != len(labels):
+        raise ValueError("mismatch: %d intensity images vs %d mask images"
+                         % (len(intens), len(labels)))
+    ib = {os.path.basename(p) for p in intens}
+    lb = {os.path.basename(p) for p in labels}
+    missing = ib - lb
+    if missing:
+        raise ValueError("intensity images have no matching mask: %s"
+                         % sorted(missing)[:5])
+    return intens, labels, False

@@ -113,14 +113,24 @@ class PairRunner:
             self._out_cols.extend(range(o, o + width))
         self._out_cols = np.asarray(self._out_cols, np.int64)
 
-    def run(self, intens: np.ndarray, label_img: np.ndarray):
+    def run(self, intens: np.ndarray, label_img: np.ndarray,
+            blacklist=None, fname: str = ""):
         """Returns (labels[int], values[N, n_values]) for all ROIs, ascending
-        label order. Unassigned features hold -0.0 (reference: roi_cache.h:17)."""
-        recs, smin, smax = labels.discover_rois(intens, label_img)
+        label order. Unassigned features hold -0.0 (reference: roi_cache.h:17).
+        Blacklisted ROIs keep their row with unassigned values
+        (reference: workflow_2d_segmented.cpp:116-121)."""
+        all_recs, smin, smax = labels.discover_rois(intens, label_img)
+        if blacklist is not None and blacklist.defined:
+            keep = [r for r in all_recs if not blacklist.check(fname, r.label)]
+        else:
+            keep = all_recs
+        labs_all = np.asarray([r.label for r in all_recs], np.int64)
+        recs = keep
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, dtype=np.float64)
         if n == 0:
-            return np.zeros(0, np.int64), values[:, self._out_cols]
+            out = np.full((len(all_recs), len(self._out_cols)), -0.0)
+            return labs_all, out
 
         # host contour phase (reference: ContourFeature::buildRegularContour)
         contours = None
@@ -200,8 +210,15 @@ class PairRunner:
                 members = fam.host_fn(hc, self.cfg)
                 self._scatter(values, list(range(n)), {name: members})
 
-        labs = np.asarray([r.label for r in recs], np.int64)
-        return labs, values[:, self._out_cols]
+        if len(recs) != len(all_recs):
+            # reinsert blacklisted rows with unassigned values
+            out = np.full((len(all_recs), len(self._out_cols)), -0.0)
+            kept_idx = {r.label: i for i, r in enumerate(recs)}
+            for j, r in enumerate(all_recs):
+                if r.label in kept_idx:
+                    out[j] = values[kept_idx[r.label], self._out_cols]
+            return labs_all, out
+        return labs_all, values[:, self._out_cols]
 
     def _scatter(self, values, idxs, out):
         """Place family outputs into the row value matrix."""
