@@ -331,3 +331,159 @@ class Nyxus:
         if args:
             return {k: v for k, v in out.items() if k in args}
         return out
+
+
+class Nyxus3D:
+    """3D feature extractor over NIfTI volumes or in-memory voxel arrays
+    (reference: nyxus.py:911-1466)."""
+
+    _valid_output_types = list(_VALID_OUTPUT_TYPES)
+
+    def __init__(self, features, **kwargs):
+        self.features = list(features)
+        cfg = EngineConfig()
+        updates = {}
+        for k, v in kwargs.items():
+            field = _KWARG_MAP.get(k)
+            if field is not None and v is not None:
+                updates[field] = v
+        if kwargs.get("anisotropy_z") is not None:
+            updates["aniso_z"] = kwargs["anisotropy_z"]
+        if "verbose" in kwargs:
+            self.verbosity = kwargs["verbose"]
+        self.cfg = cfg.replace(**updates)
+        self.error_message = ""
+        self._compile()
+
+    def _compile(self):
+        self.fset = tx.parse_feature_request(
+            self.features, dim=3, ibsi=self.cfg.ibsi)
+        self.header, _ = col.build_header(self.fset, self.cfg)
+        from .pipeline.runner3d import VolumeRunner
+        self._runner = VolumeRunner(self.fset, self.cfg)
+
+    def featurize(self, intensity_volumes, label_volumes,
+                  intensity_names: list = [], label_names: list = []):
+        """Featurize in-memory [Z, Y, X] volume pairs (or lists thereof)."""
+        if isinstance(intensity_volumes, np.ndarray) and intensity_volumes.ndim == 3:
+            intensity_volumes = [intensity_volumes]
+            label_volumes = [label_volumes]
+        frames = []
+        for i, (I, M) in enumerate(zip(intensity_volumes, label_volumes)):
+            iname = intensity_names[i] if intensity_names else "Intensity%d" % i
+            lname = label_names[i] if label_names else "Segmentation%d" % i
+            labs, values = self._runner.run(self._prep(np.asarray(I)),
+                                            np.asarray(M).astype(np.int32))
+            values = _force_finite(values, self.cfg.noval)
+            frames.append(_frame(self.header, iname, lname, labs, values))
+        return pd.concat(frames, ignore_index=True)
+
+    def featurize_directory(self, intensity_dir: str, label_dir: str,
+                            file_pattern: str = ".*",
+                            output_type: str = "pandas",
+                            output_path: str = ""):
+        import os
+        from .io import dataset as ds
+        from .io import readers
+
+        if not os.path.exists(intensity_dir):
+            raise IOError("Provided intensity image directory '%s' does not exist."
+                          % intensity_dir)
+        if label_dir is not None and not os.path.exists(label_dir):
+            raise IOError("Provided label image directory '%s' does not exist."
+                          % label_dir)
+        if label_dir is None:
+            label_dir = intensity_dir
+        if output_type not in self._valid_output_types:
+            raise ValueError("Invalid output type %s. Valid output types are %s."
+                             % (output_type, self._valid_output_types))
+        int_files, lab_files, _ = ds.read_3d_dataset(
+            intensity_dir, label_dir, file_pattern)
+        frames = []
+        for ipath, lpath in zip(int_files, lab_files):
+            frames.append(self._featurize_volume_pair(ipath, lpath))
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            _frame(self.header, "", "", np.zeros(0, np.int64),
+                   np.zeros((0, len(self.header) - 4)))
+        if output_type == "pandas":
+            return df
+        from .io import writers
+        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        return self._arrow_path
+
+    def featurize_files(self, intensity_files, mask_files, single_roi=False,
+                        output_type: str = "pandas", output_path: str = ""):
+        if intensity_files is None:
+            raise IOError("The list of intensity file paths is empty")
+        if mask_files is None and not single_roi:
+            raise IOError("The list of segment file paths is empty")
+        frames = []
+        for k, ipath in enumerate(intensity_files):
+            lpath = ipath if single_roi else mask_files[k]
+            frames.append(self._featurize_volume_pair(ipath, lpath,
+                                                      single_roi=single_roi))
+        df = pd.concat(frames, ignore_index=True)
+        if output_type == "pandas":
+            return df
+        from .io import writers
+        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        return self._arrow_path
+
+    def _featurize_volume_pair(self, ipath, lpath, single_roi=False):
+        """One volume pair; per-time-frame loop mirrors
+        workflow_3d_segmented.cpp:203-206 (t_index column)."""
+        from .io import readers
+        ivol, imeta = readers.read_nifti(ipath, with_meta=True)
+        if single_roi:
+            lvol = np.ones(ivol.shape, np.int32)
+        else:
+            lvol, _ = readers.read_nifti(lpath, with_meta=True)
+        nt = max(imeta["nt"], 1)
+        frames = []
+        for t in range(nt):
+            lt = lvol[t] if lvol.shape[0] > t else lvol[0]
+            labs, values = self._runner.run(self._prep(ivol[t]),
+                                            lt.astype(np.int32))
+            values = _force_finite(values, self.cfg.noval)
+            f = _frame(self.header, ipath, "" if single_roi else lpath,
+                       labs, values)
+            f[col.COL_T] = float(t)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def _prep(self, vol: np.ndarray) -> np.ndarray:
+        vol = np.asarray(vol, np.float64)
+        if vol.size and vol.min() < 0:
+            vol = vol - vol.min()
+        return np.floor(vol)
+
+    def get_arrow_ipc_file(self):
+        return getattr(self, "_arrow_path", "")
+
+    def get_parquet_file(self):
+        return getattr(self, "_arrow_path", "")
+
+    @staticmethod
+    def arrow_is_enabled():
+        return Nyxus.arrow_is_enabled()
+
+    def set_params(self, **params):
+        updates = {}
+        for k, v in params.items():
+            field = _KWARG_MAP.get(k)
+            if field is not None:
+                updates[field] = v
+            elif k == "features":
+                self.features = list(v)
+        if updates:
+            self.cfg = self.cfg.replace(**updates)
+        self._compile()
+
+    def get_params(self, *args):
+        inv = {v: k for k, v in _KWARG_MAP.items()}
+        out = {"features": self.features}
+        for field, kwarg in inv.items():
+            out[kwarg] = getattr(self.cfg, field)
+        if args:
+            return {k: v for k, v in out.items() if k in args}
+        return out

@@ -48,3 +48,9 @@ def read_2d_dataset(int_dir: str, seg_dir: str, file_pattern: str = ".*"):
         raise ValueError("intensity images have no matching mask: %s"
                          % sorted(missing)[:5])
     return intens, labels, False
+
+
+def read_3d_dataset(int_dir: str, seg_dir: str, file_pattern: str = ".*"):
+    """3D volume pairing (reference: dirs_and_files.cpp read_3D_dataset):
+    same name-match pairing as 2D over volume files (.nii/.nii.gz)."""
+    return read_2d_dataset(int_dir, seg_dir, file_pattern)

@@ -55,6 +55,14 @@ def ngtdm_features(levels, valid, nmax: int, vmin, vmax, noval: float, dtype,
     # distinct non-zero levels over the whole valid matrix
     present = masked_bincount(flat_lev, valid.reshape(B, -1).astype(dtype), nb) > 0
     present = present.at[:, 0].set(False)
+    return ngtdm_stats(N, S, present, levels, valid, noval, dtype, ibsi)
+
+
+def ngtdm_stats(N, S, present, levels, valid, noval: float, dtype,
+                ibsi: bool = False):
+    """The 5 NGTDM statistics from per-level counts N and diff sums S.
+    Shared by the 2D and 3D builders."""
+    B, nb = N.shape
     ngp = jnp.sum(present, axis=1).astype(dtype)                 # Ngp
 
     nvc = jnp.sum(N, axis=1)                                     # = Nvp

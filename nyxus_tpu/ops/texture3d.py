@@ -1,0 +1,484 @@
+"""3D texture families: GLCM/GLRLM/GLSZM/GLDZM/GLDM/NGLDM/NGTDM over voxel
+cubes, batched [B, D, H, W].
+
+Matrix builders follow the 3D reference implementations (src/nyx/features/
+3d_*.cpp); the per-matrix feature statistics are shared with the 2D modules.
+
+Faithful 3D conventions (they differ from 2D!):
+* GLCM: 13 directions (dx, dy, dz struct order, 3d_glcm.cpp:12-31); MATLAB
+  mode does NOT skip background (background -> level 1 participates)
+* GLRLM: 13 directions (dz, dy, dx order, 3d_glrlm.cpp:17-33), all
+  raster-positive -> vectorized run detection via pointer jumping
+* GLSZM: zones are full 26-connected components; MATLAB zeroI = 1 excludes
+  level-1 voxels from zones (3d_glszm.cpp:517-521)
+* GLDZM: zones are 6-connected components; distance is the in-plane 4-dir
+  scan (3d_gldzm.cpp:?); MATLAB mode includes background (zeroI quirks)
+* GLDM: 26-neighbor dependence, center skip at level zeroI (1 for MATLAB)
+* NGLDM: interior voxels only (1..dim-2), to_grayscale binning, no ROI
+  masking, U over the whole cube (background participates)
+* NGTDM: Chebyshev-radius window, neighbor sum over ALL in-bounds voxels
+  (background included), center skip at zeroI
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gldm as gldm2d
+from . import glcm as glcm2d
+from . import glrlm as glrlm2d
+from . import ngtdm as ngtdm2d
+from . import zones as zones2d
+from .common import masked_bincount
+
+# (dx, dy, dz), 3d_glcm.cpp:16-31
+GLCM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
+               (1, 0, -1), (1, -1, 1), (1, -1, 0), (1, -1, -1), (0, 1, 1),
+               (0, 1, 0), (0, 1, -1), (0, 0, 1)]
+# (dz, dy, dx), 3d_glrlm.cpp:17-33
+GLRLM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
+                (1, 0, -1), (1, -1, 1), (1, -1, 0), (1, -1, -1), (0, 1, 1),
+                (0, 1, 0), (0, 1, -1), (0, 0, 1)]
+
+N26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+       for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
+N6 = [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
+
+
+def shifted3d(arr, dx: int, dy: int, dz: int, fill=0):
+    """arr[b, z+dz, y+dy, x+dx] with constant fill outside."""
+    B, D, H, W = arr.shape
+    zlo, zhi = max(-dz, 0), max(dz, 0)
+    ylo, yhi = max(-dy, 0), max(dy, 0)
+    xlo, xhi = max(-dx, 0), max(dx, 0)
+    p = jnp.pad(arr, ((0, 0), (zlo, zhi), (ylo, yhi), (xlo, xhi)),
+                constant_values=fill)
+    return p[:, zhi:zhi + D, yhi:yhi + H, xhi:xhi + W]
+
+
+def _in_aabb3d(shape, depths, heights, widths):
+    D, H, W = shape
+    zs = jnp.arange(D, dtype=jnp.int32)[None, :, None, None]
+    ys = jnp.arange(H, dtype=jnp.int32)[None, None, :, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+    return ((zs < depths[:, None, None, None]) &
+            (ys < heights[:, None, None, None]) &
+            (xs < widths[:, None, None, None]))
+
+
+# ---------------------------------------------------------------------------
+# GLCM 3D
+
+
+def glcm3d_all(levels, aabb, vmin, vmax, offset: int, ng: int,
+               symmetric: bool, greyinfo: int, noval: float, dtype):
+    """GLCM over 13 directions. levels: binned [B, D, H, W]; aabb: in-AABB
+    mask (defines SimpleCube bounds).  MATLAB mode counts every in-cube voxel
+    pair (background participates, 3d_glcm.cpp:?)."""
+    B = levels.shape[0]
+    arange = jnp.arange(ng, dtype=jnp.int32)
+    lev_idx = levels.astype(jnp.int32) - 1
+    mats = []
+    for dx, dy, dz in GLCM_SHIFTS:
+        nb_lev = shifted3d(lev_idx, dx * offset, dy * offset, dz * offset,
+                           fill=-1)
+        nb_ok = shifted3d(aabb.astype(jnp.int32), dx * offset, dy * offset,
+                          dz * offset) > 0
+        valid = aabb & nb_ok
+        if greyinfo == 0:  # IBSI skips zero levels
+            valid = valid & (levels > 0) & (nb_lev >= 0)
+        w = valid.reshape(B, -1).astype(dtype)
+        a = nb_lev.reshape(B, -1)
+        b = lev_idx.reshape(B, -1)
+        oa = (a[..., None] == arange).astype(dtype)
+        ob = (b[..., None] == arange).astype(dtype)
+        m = jnp.einsum("bpi,bpj,bp->bij", oa, ob, w, preferred_element_type=dtype)
+        mats.append(m)
+    M = jnp.stack(mats, axis=1)
+    if symmetric:
+        M = M + jnp.swapaxes(M, -1, -2)
+
+    out = glcm2d.glcm_features_from_matrix(M, ng, noval)
+    from . import quant
+    degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)
+    nv = jnp.asarray(noval, dtype)
+    final = {}
+    for m in glcm2d.MEMBERS:
+        v = jnp.where(degen[:, None], nv, out[m])
+        # 3D output contract: scalar = direction 0 (output writers have no
+        # Feature3D multi-value expansion); _AVE = mean over 13 directions
+        final[m] = v[:, 0]
+        if m != "GLCM_HOM2":
+            final[m + "_AVE"] = jnp.where(degen, nv, jnp.mean(v, axis=-1))
+    return final
+
+
+# ---------------------------------------------------------------------------
+# GLRLM 3D: run detection via pointer jumping along each direction
+
+
+def _runs3d(lev, valid, d, ng: int, nr: int, dtype):
+    """Run-length histogram along direction d = (dz, dy, dx)."""
+    B = lev.shape[0]
+    dz, dy, dx = d
+    same = valid & (shifted3d(valid, dx, dy, dz, fill=False)) & \
+        (lev == shifted3d(lev, dx, dy, dz, fill=-99))
+    # pointer jumping: length of the same-level chain starting at each voxel
+    length = jnp.ones(lev.shape, jnp.int32)
+    can = same
+    k = 1
+    maxdim = max(lev.shape[1:])
+    while k <= maxdim:
+        length = length + jnp.where(can, shifted3d(length, dx * k, dy * k, dz * k), 0)
+        can = can & shifted3d(can, dx * k, dy * k, dz * k, fill=False)
+        k *= 2
+    prev_same = shifted3d(same.astype(jnp.int32), -dx, -dy, -dz) > 0
+    is_start = valid & ~prev_same
+    lev_idx = (lev - 1).reshape(B, -1)
+    len_idx = jnp.clip(length - 1, 0, nr - 1).reshape(B, -1)
+    w = is_start.reshape(B, -1).astype(dtype)
+    oa = (lev_idx[..., None] == jnp.arange(ng, dtype=jnp.int32)).astype(dtype)
+    ob = (len_idx[..., None] == jnp.arange(nr, dtype=jnp.int32)).astype(dtype)
+    return jnp.einsum("bpi,bpj,bp->bij", oa, ob, w, preferred_element_type=dtype)
+
+
+def glrlm3d_all(levels, valid, n_pixels, vmin, vmax, ng: int, nr: int,
+                noval: float, dtype):
+    mats = [_runs3d(levels, valid, d, ng, nr, dtype) for d in GLRLM_SHIFTS]
+    P = jnp.stack(mats, axis=1)    # [B, 13, ng, nr]
+    out = glrlm2d.glrlm_features(P, n_pixels, vmin, vmax, noval, dtype)
+    final = {}
+    for m in glrlm2d.MEMBERS:
+        final[m] = out[m][:, 0]
+        final[m + "_AVE"] = out[m + "_AVE"]
+    return final
+
+
+# ---------------------------------------------------------------------------
+# 3D connected components (26- or 6-connectivity) by min-index propagation
+
+
+def cc3d_labels(lev, valid, neighborhood):
+    B, D, H, W = lev.shape
+    BIG = jnp.int32(D * H * W)
+    ridx = (jnp.arange(D, dtype=jnp.int32)[:, None, None] * (H * W)
+            + jnp.arange(H, dtype=jnp.int32)[None, :, None] * W
+            + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+    ridx = jnp.broadcast_to(ridx[None], lev.shape)
+    anc0 = jnp.where(valid, ridx, BIG)
+
+    def step(anc):
+        for dz, dy, dx in neighborhood:
+            n_anc = shifted3d(anc, dx, dy, dz, fill=BIG)
+            ok = valid & shifted3d(valid, dx, dy, dz, fill=False) & \
+                (lev == shifted3d(lev, dx, dy, dz, fill=-99))
+            anc = jnp.where(ok, jnp.minimum(anc, n_anc), anc)
+        return anc
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        anc, _ = state
+        new = step(anc)
+        return new, jnp.any(new != anc)
+
+    anc, _ = lax.while_loop(cond, body, (step(anc0), jnp.bool_(True)))
+    return jnp.where(valid, anc, BIG)
+
+
+def _zone_seeds_sizes3d(anc, valid):
+    B = anc.shape[0]
+    A = anc.shape[1] * anc.shape[2] * anc.shape[3]
+    flat = anc.reshape(B, -1)
+    ones = valid.reshape(B, -1).astype(jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    seg = (rows * (A + 1) + jnp.minimum(flat, A)).reshape(-1)
+    counts = jax.ops.segment_sum(ones.reshape(-1), seg, num_segments=B * (A + 1))
+    counts = counts.reshape(B, A + 1)[:, :A]
+    ridx = jnp.arange(A, dtype=jnp.int32)[None]
+    seed = valid.reshape(B, -1) & (flat == ridx)
+    size = jnp.take_along_axis(counts, jnp.minimum(flat, A - 1), axis=1)
+    return seed, size  # flattened [B, A]
+
+
+def glszm3d_all(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
+    """26-connected size zones; reuses the per-zone GLSZM statistics."""
+    B = levels.shape[0]
+    A = int(np.prod(levels.shape[1:]))
+    anc = cc3d_labels(levels, valid, N26)
+    seed, size = _zone_seeds_sizes3d(anc, valid)
+    from . import glszm as glszm2d
+    return _glszm_from_zones(seed, levels.reshape(B, -1), size, np_pixels,
+                             vmin, vmax, noval, dtype, A)
+
+
+def _glszm_from_zones(seed, lev_flat, size_flat, np_pixels, vmin, vmax,
+                      noval, dtype, A):
+    zlev = jnp.where(seed, lev_flat, 0).astype(dtype)
+    zsize = jnp.where(seed, size_flat, 0).astype(dtype)
+    w = seed.astype(dtype)
+    nz = jnp.sum(w, axis=1)
+    s = jnp.maximum(nz, 1)
+    inv = lambda x: 1.0 / jnp.where(x > 0, x, 1)
+    l2 = zlev * zlev
+    s2 = zsize * zsize
+    out = {}
+    out["GLSZM_SAE"] = jnp.sum(w * inv(s2), axis=1) / s
+    out["GLSZM_LAE"] = jnp.sum(s2, axis=1) / s
+    out["GLSZM_ZP"] = nz / jnp.maximum(np_pixels.astype(dtype), 1)
+    mu_g = jnp.sum(zlev, axis=1) / s
+    out["GLSZM_GLV"] = jnp.sum(w * (zlev - mu_g[:, None]) ** 2, axis=1) / s
+    mu_z = jnp.sum(zsize, axis=1) / s
+    out["GLSZM_ZV"] = jnp.sum(w * (zsize - mu_z[:, None]) ** 2, axis=1) / s
+    out["GLSZM_LGLZE"] = jnp.sum(w * inv(l2), axis=1) / s
+    out["GLSZM_HGLZE"] = jnp.sum(l2, axis=1) / s
+    out["GLSZM_SALGLE"] = jnp.sum(w * inv(l2) * inv(s2), axis=1) / s
+    out["GLSZM_SAHGLE"] = jnp.sum(l2 * inv(s2), axis=1) / s
+    out["GLSZM_LALGLE"] = jnp.sum(s2 * inv(l2), axis=1) / s
+    out["GLSZM_LAHGLE"] = jnp.sum(l2 * s2, axis=1) / s
+    inf = jnp.asarray(jnp.inf, dtype)
+    _, cnt_l, v_l = zones2d.grouped_run_counts(jnp.where(seed, zlev, inf))
+    gln = jnp.sum(jnp.where(v_l, cnt_l, 0).astype(dtype), axis=1)
+    out["GLSZM_GLN"] = gln / s
+    out["GLSZM_GLNN"] = gln / (s * s)
+    _, cnt_s, v_s = zones2d.grouped_run_counts(jnp.where(seed, zsize, inf))
+    szn = jnp.sum(jnp.where(v_s, cnt_s, 0).astype(dtype), axis=1)
+    out["GLSZM_SZN"] = szn / s
+    out["GLSZM_SZNN"] = szn / (s * s)
+    key = jnp.where(seed, zlev * (A + 1.0) + zsize, inf)
+    _, cnt_c, v_c = zones2d.grouped_run_counts(key)
+    EPS = 1e-9
+    ze = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
+                  axis=1) / s
+    out["GLSZM_ZE"] = ze
+    bad = (vmin == vmax) | (nz == 0)
+    nv = jnp.asarray(noval, dtype)
+    return {k: jnp.where(bad, nv, v) for k, v in out.items()}
+
+
+def border_distance3d(levels, heights, widths):
+    """In-plane 4-direction dist2border per voxel (3d_gldzm.cpp:?)."""
+    B, D, H, W = levels.shape
+    lev2 = levels.reshape(B * D, H, W)
+    from . import gldzm as gldzm2d
+    hh = jnp.repeat(heights, D)
+    ww = jnp.repeat(widths, D)
+    d = gldzm2d.border_distance(lev2, hh, ww)
+    return d.reshape(B, D, H, W)
+
+
+def gldzm3d_all(levels, valid, heights, widths, roi_area, vmin, vmax,
+                noval: float, dtype):
+    """6-connected zones with in-plane border distances."""
+    B = levels.shape[0]
+    A = int(np.prod(levels.shape[1:]))
+    anc = cc3d_labels(levels, valid, N6)
+    seed, _ = _zone_seeds_sizes3d(anc, valid)
+    dist = border_distance3d(levels, heights, widths)
+
+    flat = jnp.minimum(anc.reshape(B, -1), A)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    seg = (rows * (A + 1) + flat).reshape(-1)
+    dvals = jnp.where(valid, dist, jnp.int32(1 << 30)).reshape(-1)
+    zmin = jax.ops.segment_min(dvals, seg, num_segments=B * (A + 1))
+    zmin = zmin.reshape(B, A + 1)[:, :A]
+    zdist = jnp.take_along_axis(zmin, jnp.minimum(anc.reshape(B, -1), A - 1), axis=1)
+
+    lev_flat = levels.reshape(B, -1)
+    zlev = jnp.where(seed, lev_flat, 0).astype(dtype)
+    zd = jnp.where(seed, zdist, 0).astype(dtype)
+    gnz = zlev > 0
+    wz = (seed & gnz).astype(dtype)
+    ns = jnp.sum(wz, axis=1)
+    s = jnp.maximum(ns, 1)
+    inv = lambda x: 1.0 / jnp.where(x > 0, x, 1)
+    g2 = zlev * zlev
+    d2 = zd * zd
+    out = {}
+    out["GLDZM_SDE"] = jnp.sum(wz * inv(d2), axis=1) / s
+    out["GLDZM_LDE"] = jnp.sum(wz * d2, axis=1) / s
+    out["GLDZM_LGLZE"] = jnp.sum(wz * inv(g2), axis=1) / s
+    out["GLDZM_HGLZE"] = jnp.sum(wz * g2, axis=1) / s
+    out["GLDZM_SDLGLE"] = jnp.sum(wz * inv(g2) * inv(d2), axis=1) / s
+    out["GLDZM_SDHGLE"] = jnp.sum(wz * g2 * inv(d2), axis=1) / s
+    out["GLDZM_LDLGLE"] = jnp.sum(wz * d2 * inv(g2), axis=1) / s
+    out["GLDZM_LDHGLE"] = jnp.sum(wz * g2 * d2, axis=1) / s
+    inf = jnp.asarray(jnp.inf, dtype)
+    _, cnt_g, v_g = zones2d.grouped_run_counts(jnp.where(wz > 0, zlev, inf))
+    glnu = jnp.sum(jnp.where(v_g, cnt_g, 0).astype(dtype), axis=1)
+    out["GLDZM_GLNU"] = glnu / s
+    out["GLDZM_GLNUN"] = glnu / (s * s)
+    _, cnt_d, v_d = zones2d.grouped_run_counts(jnp.where(wz > 0, zd, inf))
+    zdnu = jnp.sum(jnp.where(v_d, cnt_d, 0).astype(dtype), axis=1)
+    out["GLDZM_ZDNU"] = zdnu / s
+    out["GLDZM_ZDNUN"] = zdnu / (s * s)
+    out["GLDZM_ZP"] = ns / jnp.maximum(roi_area.astype(dtype), 1)
+    glm = jnp.sum(wz * zlev, axis=1) / s
+    out["GLDZM_GLM"] = glm
+    zdm = jnp.sum(wz * zd, axis=1) / s
+    out["GLDZM_ZDM"] = zdm
+    out["GLDZM_GLV"] = jnp.sum(wz * (zlev - glm[:, None]) ** 2, axis=1) / s
+    out["GLDZM_ZDV"] = jnp.sum(wz * (zd - zdm[:, None]) ** 2, axis=1) / s
+    maxd = levels.shape[2] + levels.shape[3] + 2.0
+    key = jnp.where(wz > 0, zlev * maxd + zd, inf)
+    _, cnt_c, v_c = zones2d.grouped_run_counts(key)
+    EPS = 1e-9
+    zde = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
+                   axis=1) / s
+    out["GLDZM_ZDE"] = zde
+    bad = (vmin == vmax) | (ns == 0)
+    nv = jnp.asarray(noval, dtype)
+    return {k: jnp.where(bad, nv, v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# GLDM / NGLDM / NGTDM 3D
+
+
+def gldm3d_all(levels, valid, zeroI: int, ng: int, vmin, vmax,
+               noval: float, dtype):
+    """26-neighbor dependence matrix; center skip at level zeroI."""
+    B = levels.shape[0]
+    center_ok = valid & (levels != zeroI)
+    nd = jnp.ones(levels.shape, jnp.int32)
+    for dz, dy, dx in N26:
+        n_ok = shifted3d(valid, dx, dy, dz, fill=False)
+        n_lev = shifted3d(levels, dx, dy, dz, fill=-99)
+        nd = nd + (n_ok & (n_lev == levels)).astype(jnp.int32)
+
+    ND = 27
+    lev_idx = (levels - 1).reshape(B, -1)
+    nd_idx = (nd - 1).reshape(B, -1)
+    w = center_ok.reshape(B, -1).astype(dtype)
+    oi = (lev_idx[..., None] == jnp.arange(ng, dtype=jnp.int32)).astype(dtype)
+    oj = (nd_idx[..., None] == jnp.arange(ND, dtype=jnp.int32)).astype(dtype)
+    P = jnp.einsum("bpi,bpj,bp->bij", oi, oj, w, preferred_element_type=dtype)
+    return gldm2d.gldm_features(P, vmin, vmax, noval)
+
+
+def ngtdm3d_all(levels, valid, zeroI: int, nmax: int, radius: int,
+                vmin, vmax, noval: float, dtype, ibsi: bool):
+    """Chebyshev-window neighborhood; ALL in-bounds voxels contribute to the
+    neighbor average (background included, 3d_ngtdm.cpp:69-107)."""
+    B = levels.shape[0]
+    lev = jnp.where(valid, levels, 0)
+    lev_f = lev.astype(dtype)
+    neig_sum = jnp.zeros_like(lev_f)
+    neig_cnt = jnp.zeros_like(lev_f)
+    offs = [(dz, dy, dx)
+            for dz in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if (dz, dy, dx) != (0, 0, 0)]
+    for dz, dy, dx in offs:
+        ok = shifted3d(valid, dx, dy, dz, fill=False)
+        nl = shifted3d(lev_f, dx, dy, dz)
+        neig_sum = neig_sum + jnp.where(ok, nl, 0)
+        neig_cnt = neig_cnt + ok.astype(dtype)
+
+    is_zone = valid & (lev != zeroI) & (neig_cnt > 0)
+    ave = jnp.where(is_zone, neig_sum / jnp.maximum(neig_cnt, 1), 0)
+    nb = nmax + 1
+    flat_lev = lev.reshape(B, -1)
+    wzone = is_zone.reshape(B, -1).astype(dtype)
+    N = masked_bincount(flat_lev, wzone, nb)
+    diff = jnp.abs(lev_f - ave).reshape(B, -1)
+    S = masked_bincount(flat_lev, wzone * diff, nb)
+    present = masked_bincount(flat_lev, valid.reshape(B, -1).astype(dtype), nb) > 0
+    present = present.at[:, 0].set(False)
+    return ngtdm2d.ngtdm_stats(N, S, present, levels, valid, noval, dtype, ibsi)
+
+
+def ngldm3d_all(intens, aabb, vmax, n_levels: int, nmax: int, ibsi: bool,
+                vmin, noval: float, dtype):
+    """Interior-voxel NGLDM with to_grayscale binning over the whole cube,
+    including off-ROI zeros (3d_ngldm.cpp:123-166 does NOT skip background).
+
+    Faithful 3D-reference conventions (3d_ngldm.cpp:261-357), which differ
+    from the 2D family:
+    * per-grey sums run over dependence columns j>=1 only; the j=0 column
+      participates only through the normalizer Ns
+    * LDE/HDE weight by j, LDHGLE..HDHGLE weight by k=j+1 (as coded)
+    * grey weights are the actual binned values U[i] except GLV, which uses
+      the 1-based ordinal of the value within the cube's unique-value set
+    * DCNU duplicates GLNU (the reference's second loop re-sums rows)
+    """
+    B, D, H, W = intens.shape
+    if ibsi:
+        lev = intens.astype(jnp.int32)
+    else:
+        lev = (intens.astype(dtype) * n_levels
+               / jnp.maximum(vmax[:, None, None, None], 1e-30)).astype(jnp.int32)
+    inb = aabb["inbounds"]
+    interior = aabb["interior"]
+
+    matches = jnp.zeros(lev.shape, jnp.int32)
+    for dz, dy, dx in N26:
+        ok = shifted3d(inb, dx, dy, dz, fill=False)
+        nl = shifted3d(lev, dx, dy, dz, fill=-99)
+        matches = matches + (ok & (nl == lev)).astype(jnp.int32)
+
+    nb = nmax + 1
+    NR = 27
+    lev_idx = jnp.clip(lev, 0, nb - 1).reshape(B, -1)
+    m_idx = jnp.clip(matches, 0, NR - 1).reshape(B, -1)
+    w = interior.reshape(B, -1).astype(dtype)
+    oi = (lev_idx[..., None] == jnp.arange(nb, dtype=jnp.int32)).astype(dtype)
+    oj = (m_idx[..., None] == jnp.arange(NR, dtype=jnp.int32)).astype(dtype)
+    P = jnp.einsum("bpi,bpj,bp->bij", oi, oj, w, preferred_element_type=dtype)
+
+    # unique-value LUT U: values present anywhere in the AABB cube
+    present = masked_bincount(lev_idx, inb.reshape(B, -1).astype(dtype), nb) > 0
+    ordinal = jnp.cumsum(present.astype(dtype), axis=1)       # 1-based rank in U
+
+    ns = jnp.sum(P, axis=(1, 2))                              # includes j=0 col
+    s = jnp.maximum(ns, 1)
+    gval = jnp.arange(nb, dtype=dtype)
+    jval = jnp.arange(NR, dtype=dtype)                        # dependence j
+    kval = jval + 1.0                                         # the code's k=j+1
+    jpos = jval >= 1
+    j2 = jnp.where(jpos, jval * jval, 1)
+    k2 = kval * kval
+    gnz = gval > 0
+    g2 = jnp.where(gnz, gval * gval, 1)
+
+    Pj = jnp.where(jpos[None, None, :], P, 0)                 # columns j>=1
+    sg = jnp.sum(Pj, axis=2)                                  # per-grey, j>=1
+    sr = jnp.sum(Pj, axis=1)                                  # per-dep, j>=1
+    p = Pj / s[:, None, None]
+
+    out = {}
+    out["NGLDM_LDE"] = jnp.sum(sr / j2, axis=1) / s
+    out["NGLDM_HDE"] = jnp.sum(sr * j2, axis=1) / s
+    out["NGLDM_LGLCE"] = jnp.sum(jnp.where(gnz, sg / g2, 0), axis=1) / s
+    out["NGLDM_HGLCE"] = jnp.sum(sg * gval * gval, axis=1) / s
+    out["NGLDM_LDLGLE"] = jnp.einsum("bij,i,j->b", Pj,
+                                     jnp.where(gnz, 1 / g2, 0), 1 / j2) / s
+    out["NGLDM_LDHGLE"] = jnp.einsum("bij,i,j->b", Pj, gval * gval, 1 / k2) / s
+    out["NGLDM_HDLGLE"] = jnp.einsum("bij,i,j->b", Pj,
+                                     jnp.where(gnz, 1 / g2, 0), k2) / s
+    out["NGLDM_HDHGLE"] = jnp.einsum("bij,i,j->b", Pj, gval * gval, k2) / s
+    glnu = jnp.sum(sg * sg, axis=1)
+    out["NGLDM_GLNU"] = glnu / s
+    out["NGLDM_GLNUN"] = glnu / (s * s)
+    out["NGLDM_DCNU"] = glnu / s                # faithful: 3d_ngldm.cpp:308-325
+    out["NGLDM_DCNUN"] = glnu / (s * s)
+    out["NGLDM_DCP"] = jnp.ones_like(ns)
+    glm = jnp.einsum("bij,i->b", p, gval)
+    out["NGLDM_GLM"] = glm
+    dcm = jnp.einsum("bij,j->b", p, kval)
+    out["NGLDM_DCM"] = dcm
+    out["NGLDM_GLV"] = jnp.einsum("bij,bi->b", p,
+                                  (ordinal - glm[:, None]) ** 2)
+    out["NGLDM_DCV"] = jnp.einsum("bij,bj->b", p,
+                                  (kval[None] - dcm[:, None]) ** 2)
+    out["NGLDM_DCENT"] = -jnp.sum(
+        jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1)), 0), axis=(1, 2))
+    out["NGLDM_DCENE"] = jnp.sum(p * p, axis=(1, 2))
+    bad = vmin == vmax
+    nv = jnp.asarray(noval, dtype)
+    return {k: jnp.where(bad, nv, v) for k, v in out.items()}

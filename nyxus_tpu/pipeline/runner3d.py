@@ -1,0 +1,374 @@
+"""3D pipeline: volume ROI discovery, bucketed [B, D, H, W] batching, and the
+D3_* feature families.
+
+Reference: src/nyx/workflow_3d_segmented.cpp, phase1.cpp:248 (3D metrics
+gather), phase2_3d.cpp (SimpleCube build), reduce_trivial_rois.cpp (3D
+families).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import columns as col
+from .. import taxonomy as tx
+from ..config import EngineConfig
+from ..ops import common as ops_common
+from ..ops import intensity as ops_intensity
+from ..ops import quant
+from ..ops import texture3d as t3
+from . import batching
+
+
+@dataclasses.dataclass
+class Roi3D:
+    label: int
+    area: int
+    z0: int; z1: int; y0: int; y1: int; x0: int; x1: int
+    vmin: float
+    vmax: float
+
+    @property
+    def depth(self):
+        return self.z1 - self.z0 + 1
+
+    @property
+    def height(self):
+        return self.y1 - self.y0 + 1
+
+    @property
+    def width(self):
+        return self.x1 - self.x0 + 1
+
+
+def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
+    D, H, W = labels.shape
+    flat = labels.ravel()
+    nz = flat != 0
+    labs = flat[nz]
+    if labs.size == 0:
+        return [], float(intens.min(initial=0)), float(intens.max(initial=0))
+    vals = intens.ravel()[nz].astype(np.float64)
+    uniq, inv = np.unique(labs, return_inverse=True)
+    k = uniq.size
+    area = np.bincount(inv, minlength=k)
+    vmin = np.full(k, np.inf); vmax = np.full(k, -np.inf)
+    np.minimum.at(vmin, inv, vals)
+    np.maximum.at(vmax, inv, vals)
+    pos = np.nonzero(nz)[0]
+    zz = pos // (H * W)
+    yy = (pos // W) % H
+    xx = pos % W
+    lim = {}
+    out = []
+    for name, arr, red, init in (("z0", zz, np.minimum, D), ("z1", zz, np.maximum, -1),
+                                 ("y0", yy, np.minimum, H), ("y1", yy, np.maximum, -1),
+                                 ("x0", xx, np.minimum, W), ("x1", xx, np.maximum, -1)):
+        acc = np.full(k, init, np.int64)
+        red.at(acc, inv, arr)
+        lim[name] = acc
+    recs = [Roi3D(int(uniq[i]), int(area[i]),
+                  int(lim["z0"][i]), int(lim["z1"][i]),
+                  int(lim["y0"][i]), int(lim["y1"][i]),
+                  int(lim["x0"][i]), int(lim["x1"][i]),
+                  float(vmin[i]), float(vmax[i])) for i in range(k)]
+    return recs, float(intens.min()), float(intens.max())
+
+
+class Ctx3D:
+    def __init__(self, intens, mask, area, vmin, vmax, dd, hh, ww, cfg,
+                 static_meta=()):
+        self.intens = intens
+        self.mask = mask
+        self.area = area
+        self.vmin = vmin
+        self.vmax = vmax
+        self.depths = dd
+        self.heights = hh
+        self.widths = ww
+        self.cfg = cfg
+        self.static_meta = dict(static_meta)
+        self._cache = {}
+
+    @property
+    def B(self):
+        return self.intens.shape[0]
+
+    def cached(self, key, builder):
+        if key not in self._cache:
+            self._cache[key] = builder()
+        return self._cache[key]
+
+    @property
+    def masked_intens(self):
+        return self.cached("mi", lambda: jnp.where(self.mask, self.intens, 0))
+
+    @property
+    def aabb(self):
+        return self.cached("aabb", lambda: t3._in_aabb3d(
+            self.intens.shape[1:], self.depths, self.heights, self.widths))
+
+    def levels(self, greyinfo):
+        return self.cached(("lev", greyinfo), lambda: quant.bin_levels(
+            self.masked_intens, self.vmin[:, None, None, None],
+            self.vmax[:, None, None, None], greyinfo))
+
+
+def _grey(ctx, cfg):
+    if cfg.ibsi:
+        return 0, int(ctx.static_meta.get("max_int", 256))
+    g = cfg.coarse_gray_depth
+    return g, g
+
+
+def _f_intensity(ctx, cfg):
+    sv = ops_common.sort_masked_values(ctx.intens, ctx.mask)
+    return ops_intensity.pixel_intensity_features(
+        sv, ctx.area, ctx.vmin, ctx.vmax,
+        jnp.ones_like(ctx.vmin), cfg.coarse_gray_depth, cfg.noval)
+
+
+def _f_glcm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    return t3.glcm3d_all(ctx.levels(gi), ctx.aabb, ctx.vmin, ctx.vmax,
+                         cfg.glcm_offset, ng, gi == 0, gi, cfg.noval,
+                         ctx.intens.dtype)
+
+
+def _f_glrlm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    lev = ctx.levels(gi)
+    valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
+    # Np = ROI voxel count (3d_glrlm.cpp:196 raw_pixels_3D.size())
+    n_pixels = ctx.area
+    nr = max(ctx.intens.shape[1:])
+    return t3.glrlm3d_all(lev, valid, n_pixels, ctx.vmin, ctx.vmax, ng, nr,
+                          cfg.noval, ctx.intens.dtype)
+
+
+def _f_glszm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    lev = ctx.levels(gi)
+    zero_i = 1 if gi > 0 else 0
+    valid = ctx.aabb & (lev != zero_i)
+    # Np = ROI voxel count (3d_glszm.cpp:529 nnzVoxels = raw_pixels_3D.size())
+    np_pixels = ctx.area
+    return t3.glszm3d_all(jnp.where(valid, lev, -1), valid, np_pixels,
+                          ctx.vmin, ctx.vmax, cfg.noval, ctx.intens.dtype)
+
+
+def _f_gldzm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    lev = ctx.levels(gi)
+    valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
+    return t3.gldzm3d_all(jnp.where(ctx.aabb, lev, 0), valid, ctx.heights,
+                          ctx.widths, ctx.area, ctx.vmin, ctx.vmax,
+                          cfg.noval, ctx.intens.dtype)
+
+
+def _f_gldm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    lev = ctx.levels(gi)
+    zero_i = 1 if gi > 0 else 0
+    return t3.gldm3d_all(jnp.where(ctx.aabb, lev, -9), ctx.aabb, zero_i, ng,
+                         ctx.vmin, ctx.vmax, cfg.noval, ctx.intens.dtype)
+
+
+def _f_ngldm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    D = ctx.intens.shape[1]
+    aabb = ctx.aabb
+    zs = jnp.arange(ctx.intens.shape[1], dtype=jnp.int32)[None, :, None, None]
+    ys = jnp.arange(ctx.intens.shape[2], dtype=jnp.int32)[None, None, :, None]
+    xs = jnp.arange(ctx.intens.shape[3], dtype=jnp.int32)[None, None, None, :]
+    interior = ((zs >= 1) & (zs < ctx.depths[:, None, None, None] - 1) &
+                (ys >= 1) & (ys < ctx.heights[:, None, None, None] - 1) &
+                (xs >= 1) & (xs < ctx.widths[:, None, None, None] - 1))
+    n_levels = 0 if cfg.ibsi else cfg.coarse_gray_depth
+    nmax = ng if not cfg.ibsi else int(ctx.static_meta.get("max_int", 256))
+    return t3.ngldm3d_all(ctx.masked_intens,
+                          {"interior": interior, "inbounds": aabb},
+                          ctx.vmax, n_levels, nmax, cfg.ibsi, ctx.vmin,
+                          cfg.noval, ctx.intens.dtype)
+
+
+def _f_ngtdm(ctx, cfg):
+    gi, ng = _grey(ctx, cfg)
+    lev = ctx.levels(gi)
+    zero_i = 1 if gi > 0 else 0
+    return t3.ngtdm3d_all(jnp.where(ctx.aabb, lev, 0), ctx.aabb, zero_i, ng,
+                          cfg.ngtdm_radius, ctx.vmin, ctx.vmax, cfg.noval,
+                          ctx.intens.dtype, ibsi=gi == 0)
+
+
+FAMILIES3D = {
+    "D3_VoxelIntensityFeatures": _f_intensity,
+    "D3_GLCM_feature": _f_glcm,
+    "D3_GLRLM_feature": _f_glrlm,
+    "D3_GLSZM_feature": _f_glszm,
+    "D3_GLDZM_feature": _f_gldzm,
+    "D3_GLDM_feature": _f_gldm,
+    "D3_NGLDM_feature": _f_ngldm,
+    "D3_NGTDM_feature": _f_ngtdm,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
+def _extract3d(intens, mask, area, vmin, vmax, dd, hh, ww, families, cfg,
+               static_meta=()):
+    ctx = Ctx3D(intens, mask, area, vmin, vmax, dd, hh, ww, cfg, static_meta)
+    return {name: FAMILIES3D[name](ctx, cfg) for name in families}
+
+
+class VolumeRunner:
+    """Featurizes one (intensity, labels) 3D volume pair."""
+
+    def __init__(self, fset: tx.FeatureSet, cfg: EngineConfig):
+        self.fset = fset
+        self.cfg = cfg
+        self.families = tuple(
+            n for n in FAMILIES3D
+            if fset.any_enabled(tx.CLASS_FEATURES[n]))
+        self.need_surface = fset.any_enabled(
+            tx.CLASS_FEATURES["D3_SurfaceFeature"])
+        _, self.slots = col.build_header(fset, cfg)
+        self.n_values = sum(w for _, w in self.slots)
+        self.member_slots = {}
+        off = 0
+        for code, width in self.slots:
+            self.member_slots[code] = (off, width)
+            off += width
+
+    def run(self, intens: np.ndarray, label_img: np.ndarray):
+        recs, smin, smax = discover_rois_3d(intens, label_img)
+        n = len(recs)
+        values = np.full((n, self.n_values), -0.0, np.float64)
+        if n == 0:
+            return np.zeros(0, np.int64), values
+
+        dtype = jnp.float64 if self.cfg.precision == "f64" else jnp.float32
+        # bucket by padded (D, H, W)
+        import collections
+        buckets = collections.defaultdict(list)
+        for i, r in enumerate(recs):
+            shape = (batching.pad_dim(r.depth), batching.pad_dim(r.height),
+                     batching.pad_dim(r.width))
+            buckets[shape].append(i)
+
+        maxd = max(s[0] for s in buckets)
+        maxh = max(s[1] for s in buckets)
+        maxw = max(s[2] for s in buckets)
+        pi = np.zeros((intens.shape[0] + maxd, intens.shape[1] + maxh,
+                       intens.shape[2] + maxw), np.float32 if dtype == jnp.float32 else np.float64)
+        pl = np.zeros(pi.shape, np.int32)
+        pi[:intens.shape[0], :intens.shape[1], :intens.shape[2]] = intens
+        pl[:intens.shape[0], :intens.shape[1], :intens.shape[2]] = label_img
+        d_int = jnp.asarray(pi)
+        d_lab = jnp.asarray(pl)
+
+        for shape, idxs in sorted(buckets.items()):
+            brecs = [recs[i] for i in idxs]
+            z0 = jnp.asarray([r.z0 for r in brecs], jnp.int32)
+            y0 = jnp.asarray([r.y0 for r in brecs], jnp.int32)
+            x0 = jnp.asarray([r.x0 for r in brecs], jnp.int32)
+            labsv = jnp.asarray([r.label for r in brecs], jnp.int32)
+
+            def one(z, y, x, lab):
+                ci = jax.lax.dynamic_slice(d_int, (z, y, x), shape)
+                cl = jax.lax.dynamic_slice(d_lab, (z, y, x), shape)
+                return ci.astype(dtype), cl == lab
+
+            ci, cm = jax.vmap(one)(z0, y0, x0, labsv)
+            area = jnp.asarray([r.area for r in brecs], jnp.int32)
+            vmin = jnp.asarray([r.vmin for r in brecs], dtype)
+            vmax = jnp.asarray([r.vmax for r in brecs], dtype)
+            dd = jnp.asarray([r.depth for r in brecs], jnp.int32)
+            hh = jnp.asarray([r.height for r in brecs], jnp.int32)
+            ww = jnp.asarray([r.width for r in brecs], jnp.int32)
+            static_meta = ()
+            if self.cfg.ibsi:
+                static_meta = (("max_int", int(max(r.vmax for r in brecs))),)
+            out = _extract3d(ci, cm, area, vmin, vmax, dd, hh, ww,
+                             self.families, self.cfg, static_meta)
+            out = jax.device_get(out)
+            rows = np.asarray(idxs)
+            for members in out.values():
+                for member, arr in members.items():
+                    code = tx.F3D.get(member)
+                    if code is None or code not in self.member_slots:
+                        continue
+                    off, width = self.member_slots[code]
+                    arr = np.asarray(arr, np.float64)
+                    if arr.ndim == 1:
+                        arr = arr[:, None]
+                    w = min(width, arr.shape[1])
+                    values[rows, off:off + w] = arr[:, :w]
+
+        if self.need_surface:
+            self._surface(values, recs, label_img)
+
+        labs = np.asarray([r.label for r in recs], np.int64)
+        return labs, values
+
+    def _surface(self, values, recs, label_img):
+        """D3_SurfaceFeature host computation (3d_surface.cpp:?)."""
+        import math
+        from scipy.spatial import ConvexHull, QhullError
+
+        for i, r in enumerate(recs):
+            m = label_img[r.z0:r.z1 + 1, r.y0:r.y1 + 1, r.x0:r.x1 + 1] == r.label
+            zz, yy, xx = np.nonzero(m)
+            n = len(zz)
+            if n == 0:
+                continue
+            out = {}
+            ball_r3 = 1.0 / 8.0
+            out["VOXEL_VOLUME"] = n * (4.0 / 3.0 * math.pi * ball_r3) / 0.5236
+            # exposed faces (6-neighborhood)
+            pm = np.pad(m, 1)
+            area = 0
+            for dz, dy, dx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                               (0, 0, 1), (0, 0, -1)):
+                nb = pm[1 + dz:1 + dz + m.shape[0], 1 + dy:1 + dy + m.shape[1],
+                        1 + dx:1 + dx + m.shape[2]]
+                area += int((m & ~nb).sum())
+            out["AREA"] = float(area)
+            pts = np.stack([xx + r.x0, yy + r.y0, zz + r.z0], 1).astype(float)
+            try:
+                hull = ConvexHull(pts)
+                out["VOLUME_CONVEXHULL"] = hull.volume
+            except Exception:
+                out["VOLUME_CONVEXHULL"] = 0.0
+            out["MESH_VOLUME"] = out["VOLUME_CONVEXHULL"]
+            vv = out["VOXEL_VOLUME"]
+            a = out["AREA"]
+            out["AREA_2_VOLUME"] = a / vv
+            out["COMPACTNESS1"] = vv / math.sqrt(math.pi * a ** 3) if a else 0.0
+            out["COMPACTNESS2"] = 36 * math.pi * vv * vv / a ** 3 if a else 0.0
+            out["SPHERICAL_DISPROPORTION"] = a / (36 * math.pi * vv * vv) ** (1 / 3)
+            out["SPHERICITY"] = (36 * math.pi * vv * vv) ** (1 / 3) / a if a else 0.0
+            C = np.cov(pts.T, bias=False) if n > 1 else np.zeros((3, 3))
+            try:
+                L = np.sort(np.linalg.eigvalsh(C))[::-1]
+                if np.all(np.isfinite(L)) and L[0] > 0:
+                    out["MAJOR_AXIS_LEN"] = 4 * math.sqrt(max(L[0], 0))
+                    out["MINOR_AXIS_LEN"] = 4 * math.sqrt(max(L[1], 0))
+                    out["LEAST_AXIS_LEN"] = 4 * math.sqrt(max(L[2], 0))
+                    out["ELONGATION"] = math.sqrt(max(L[1], 0) / L[0])
+                    out["FLATNESS"] = math.sqrt(max(L[2], 0) / L[0])
+                else:
+                    raise ValueError
+            except Exception:
+                for k in ("MAJOR_AXIS_LEN", "MINOR_AXIS_LEN", "LEAST_AXIS_LEN",
+                          "ELONGATION", "FLATNESS"):
+                    out[k] = 0.0
+            for member, v in out.items():
+                code = tx.F3D.get(member)
+                if code in self.member_slots:
+                    off, _ = self.member_slots[code]
+                    values[i, off] = v

@@ -58,3 +58,31 @@ def make_blobs(h=160, w=160, n_blobs=10, seed=0, intens_dtype=np.uint16,
 @pytest.fixture(scope="session")
 def blob_pair():
     return make_blobs()
+
+
+def make_blobs3d(d=14, h=28, w=28, n_blobs=3, seed=5):
+    """Synthetic labeled volume pair: ellipsoidal blobs, textured interiors."""
+    r = np.random.default_rng(seed)
+    labels = np.zeros((d, h, w), np.int32)
+    intens = np.zeros((d, h, w), np.float64)
+    zz, yy, xx = np.mgrid[0:d, 0:h, 0:w]
+    lab = 1
+    for _ in range(n_blobs):
+        cz, cy, cx = r.uniform(3, d - 3), r.uniform(6, h - 6), r.uniform(6, w - 6)
+        rz, ry, rx = r.uniform(2.5, d / 2.6), r.uniform(4, 10), r.uniform(4, 10)
+        m = ((zz - cz) / rz) ** 2 + ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
+        m &= labels == 0
+        if m.sum() < 30:
+            continue
+        base = r.uniform(80, 4000)
+        tex = r.normal(0, base * 0.25, size=(d, h, w))
+        wave = base * 0.3 * np.sin(zz / 2.1) * np.cos(xx / r.uniform(2, 6))
+        intens[m] = np.clip(base + tex[m] + wave[m], 1, 65535)
+        labels[m] = lab
+        lab += 1
+    return np.floor(intens), labels
+
+
+@pytest.fixture(scope="session")
+def blob_volume():
+    return make_blobs3d()

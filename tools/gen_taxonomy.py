@@ -76,7 +76,7 @@ for en in ["Feature2D", "Feature3D", "FeatureIMQ", "Fgroup2D", "Fgroup3D", "Fgro
 fs_cpp = open(os.path.join(NYX, "featureset.cpp"), errors="replace").read()
 fs_cpp = re.sub(r"#if\s+0.*?#endif", "", fs_cpp, flags=re.S)
 name_pairs = re.findall(
-    r'\{\s*"([^"]+)"\s*,\s*(Feature2D|Feature3D|FeatureIMQ|Fgroup2D|Fgroup3D|FgroupIMQ)::(\w+)\s*\}',
+    r'\{\s*"([^"]+)"\s*,\s*(?:Nyxus::)?(Feature2D|Feature3D|FeatureIMQ|Fgroup2D|Fgroup3D|FgroupIMQ)::(\w+)\s*\}',
     fs_cpp,
 )
 NAMES = {en: [] for en in ENUMS}
