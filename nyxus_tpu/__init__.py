@@ -32,7 +32,9 @@ _setup_compile_cache()
 
 from .api import ImageQuality, Nyxus, Nyxus3D
 from .config import EngineConfig
+from .functions import get_gpu_properties, gpu_is_available
 
 __version__ = "0.1.0"
 
-__all__ = ["Nyxus", "Nyxus3D", "ImageQuality", "EngineConfig", "__version__"]
+__all__ = ["Nyxus", "Nyxus3D", "ImageQuality", "EngineConfig",
+           "gpu_is_available", "get_gpu_properties", "__version__"]

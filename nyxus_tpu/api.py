@@ -182,7 +182,12 @@ class Nyxus:
         df = pd.concat(frames, ignore_index=True) if frames else self._to_frame("", "", np.zeros(0, np.int64), np.zeros((0, len(self.header) - 4)))
         if output_type == "pandas":
             return df
-        raise NotImplementedError("arrow output lands with the output milestone")
+        if output_type not in self._valid_output_types:
+            raise ValueError("Invalid output type %s. Valid output types are %s."
+                             % (output_type, self._valid_output_types))
+        from .io import writers
+        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        return self._arrow_path
 
     def _to_frame(self, int_name, seg_name, labs, values):
         n = len(labs)
@@ -331,6 +336,64 @@ class Nyxus:
         if args:
             return {k: v for k, v in out.items() if k in args}
         return out
+
+    def set_environment_params(self, **params):
+        """Alias surface of set_params (reference: nyxus.py:718-770)."""
+        self.set_params(**params)
+
+    # -- metaparameters (reference: nyxus.py:252-289, env_metaparams.cpp) --
+
+    def set_metaparam(self, paramval: str):
+        from . import metaparams
+        cfg, err = metaparams.set_metaparam(self.cfg, paramval)
+        if err is not None:
+            raise ValueError("Invalid metaparameter value %s: %s"
+                             % (paramval, err))
+        self.cfg = cfg
+        self._compile()
+
+    def get_metaparam(self, paramname: str):
+        from . import metaparams
+        val, err = metaparams.get_metaparam(self.cfg, paramname)
+        if err:
+            raise NameError("Invalid metaparameter name %s: %s"
+                            % (paramname, err))
+        return val
+
+    # -- Gabor customization (reference: nyxus.py:660-716) -----------------
+
+    def set_gabor_feature_params(self, **kwargs):
+        valid = ("kersize", "gamma", "sig2lam", "f0", "thold", "thetas",
+                 "freqs")
+        for key in kwargs:
+            if key not in valid:
+                raise ValueError("Invalid Gabor parameter %s. The valid "
+                                 "parameters are: %s" % (key, list(valid)))
+        if not kwargs:
+            raise IOError("Illegal arguments passed to "
+                          "set_gabor_feature_params()")
+        updates = {}
+        if "kersize" in kwargs:
+            updates["gabor_kersize"] = int(kwargs["kersize"])
+        if "gamma" in kwargs:
+            updates["gabor_gamma"] = float(kwargs["gamma"])
+        if "sig2lam" in kwargs:
+            updates["gabor_sig2lam"] = float(kwargs["sig2lam"])
+        if "f0" in kwargs:
+            updates["gabor_f0"] = float(kwargs["f0"])
+        if "thold" in kwargs:
+            updates["gabor_thold"] = float(kwargs["thold"])
+        if "thetas" in kwargs:
+            updates["gabor_thetas"] = tuple(float(t) for t in kwargs["thetas"])
+        if "freqs" in kwargs:
+            updates["gabor_freqs"] = tuple(float(f) for f in kwargs["freqs"])
+        if ("thetas" in kwargs) != ("freqs" in kwargs) or (
+                "thetas" in kwargs
+                and len(updates["gabor_thetas"]) != len(updates["gabor_freqs"])):
+            raise ValueError("Gabor thetas and freqs must be specified "
+                             "together with matching lengths")
+        self.cfg = self.cfg.replace(**updates)
+        self._compile()
 
 
 class Nyxus3D:
@@ -487,3 +550,7 @@ class Nyxus3D:
         if args:
             return {k: v for k, v in out.items() if k in args}
         return out
+
+    set_metaparam = Nyxus.set_metaparam
+    get_metaparam = Nyxus.get_metaparam
+    set_environment_params = Nyxus.set_environment_params

@@ -34,6 +34,16 @@ class EngineConfig:
     ngtdm_greydepth: int | None = None
     ngtdm_radius: int = 1
 
+    # 3D-family slots (metaparam paths 3glcm/..., env_metaparams.cpp:109-246)
+    d3_glcm_greydepth: int | None = None
+    d3_glcm_offset: int | None = None       # falls back to glcm_offset
+    d3_glcm_numang: int = 13                # stored; calculator uses all 13
+    d3_glcm_sparseintensities: int = 0      # stored; accepted for parity
+    d3_gldm_greydepth: int | None = None
+    d3_ngtdm_greydepth: int | None = None
+    d3_glrlm_greydepth: int | None = None
+    d3_glszm_greydepth: int | None = None
+
     # gabor defaults (reference: gabor.h:52-66, nyxus.py:90-103)
     gabor_kersize: int = 16
     gabor_gamma: float = 0.1
@@ -67,6 +77,17 @@ class EngineConfig:
     def texture_greydepth(self, family: str) -> int:
         v = getattr(self, family + "_greydepth", None)
         return self.coarse_gray_depth if v is None else v
+
+    def texture_greydepth3(self, family: str) -> int:
+        """3D family grey depth: the d3_* metaparam slot, else the global
+        coarse depth (reference: env_features.cpp:714-738 defaults)."""
+        v = getattr(self, "d3_" + family + "_greydepth", None)
+        return self.coarse_gray_depth if v is None else v
+
+    @property
+    def glcm3_offset(self) -> int:
+        return self.glcm_offset if self.d3_glcm_offset is None \
+            else self.d3_glcm_offset
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -119,10 +119,10 @@ class Ctx3D:
             self.vmax[:, None, None, None], greyinfo))
 
 
-def _grey(ctx, cfg):
+def _grey(ctx, cfg, family=None):
     if cfg.ibsi:
         return 0, int(ctx.static_meta.get("max_int", 256))
-    g = cfg.coarse_gray_depth
+    g = cfg.texture_greydepth3(family) if family else cfg.coarse_gray_depth
     return g, g
 
 
@@ -134,14 +134,14 @@ def _f_intensity(ctx, cfg):
 
 
 def _f_glcm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg, "glcm")
     return t3.glcm3d_all(ctx.levels(gi), ctx.aabb, ctx.vmin, ctx.vmax,
-                         cfg.glcm_offset, ng, gi == 0, gi, cfg.noval,
+                         cfg.glcm3_offset, ng, gi == 0, gi, cfg.noval,
                          ctx.intens.dtype)
 
 
 def _f_glrlm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg, "glrlm")
     lev = ctx.levels(gi)
     valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
     # Np = ROI voxel count (3d_glrlm.cpp:196 raw_pixels_3D.size())
@@ -152,7 +152,7 @@ def _f_glrlm(ctx, cfg):
 
 
 def _f_glszm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg, "glszm")
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     valid = ctx.aabb & (lev != zero_i)
@@ -163,7 +163,7 @@ def _f_glszm(ctx, cfg):
 
 
 def _f_gldzm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg)   # no 3gldzm metaparam path exists in the reference
     lev = ctx.levels(gi)
     valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
     return t3.gldzm3d_all(jnp.where(ctx.aabb, lev, 0), valid, ctx.heights,
@@ -172,7 +172,7 @@ def _f_gldzm(ctx, cfg):
 
 
 def _f_gldm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg, "gldm")
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     return t3.gldm3d_all(jnp.where(ctx.aabb, lev, -9), ctx.aabb, zero_i, ng,
@@ -198,7 +198,7 @@ def _f_ngldm(ctx, cfg):
 
 
 def _f_ngtdm(ctx, cfg):
-    gi, ng = _grey(ctx, cfg)
+    gi, ng = _grey(ctx, cfg, "ngtdm")
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     return t3.ngtdm3d_all(jnp.where(ctx.aabb, lev, 0), ctx.aabb, zero_i, ng,
