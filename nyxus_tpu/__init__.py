@@ -33,8 +33,9 @@ _setup_compile_cache()
 from .api import ImageQuality, Nyxus, Nyxus3D
 from .config import EngineConfig
 from .functions import get_gpu_properties, gpu_is_available
+from .nested import Nested
 
 __version__ = "0.1.0"
 
-__all__ = ["Nyxus", "Nyxus3D", "ImageQuality", "EngineConfig",
+__all__ = ["Nyxus", "Nyxus3D", "ImageQuality", "Nested", "EngineConfig",
            "gpu_is_available", "get_gpu_properties", "__version__"]

@@ -12,6 +12,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 
 def build_parser():
     p = argparse.ArgumentParser(
@@ -21,6 +23,9 @@ def build_parser():
     a("--intDir", required=True, help="intensity image directory")
     a("--segDir", required=True, help="segmentation mask directory")
     a("--outDir", required=True, help="output directory")
+    a("--intSegMapDir", default="", help="directory of the mapping file")
+    a("--intSegMapFile", default="",
+      help="explicit intensity<->mask pairing file (name pairs per line)")
     a("--features", default="*ALL*", help="feature list / group nicknames")
     a("--filePattern", default=".*", help="regex file pattern")
     a("--outputType", default="separatecsv",
@@ -28,9 +33,14 @@ def build_parser():
     a("--resultFname", default="NyxusFeatures")
     a("--coarseGrayDepth", type=int, default=64)
     a("--pixelDistance", type=int, default=5)
+    a("--pixelsPerCentimeter", type=float, default=0.0)
+    a("--embeddedpixelsize", default="true")
+    a("--onlineStatsThresh", type=int, default=1024)
     a("--reduceThreads", type=int, default=4)
     a("--ramLimit", type=int, default=4096)
+    a("--tempDir", default="")
     a("--ibsi", default="false")
+    a("--mergerois", default="false")
     a("--skiproi", default="")
     a("--verbose", type=int, default=0)
     a("--glcmAngles", default="0,45,90,135")
@@ -44,6 +54,10 @@ def build_parser():
     a("--gaborthold", type=float, default=0.025)
     a("--noval", type=float, default=-0.0)
     a("--tinyval", type=float, default=1e-10)
+    a("--aggr", default="false",
+      help="aggregate all ROIs of a slide into one output row (mean)")
+    a("--annot", default="false")
+    a("--annotsep", default=",")
     a("--fpimgdr", type=float, default=1e4)
     a("--fpimgmin", type=float, default=0.0)
     a("--fpimgmax", type=float, default=1.0)
@@ -51,40 +65,106 @@ def build_parser():
     a("--anisox", type=float, default=1.0)
     a("--anisoy", type=float, default=1.0)
     a("--anisoz", type=float, default=1.0)
-    a("--dim", type=int, default=2)
+    a("--dim", type=int, default=2, choices=[2, 3])
+    # nested-ROI post-pass (cli_option_constants.h:50-53)
+    a("--hsig", default="", help='channel signature, e.g. "_c"')
+    a("--hpar", default="", help="parent channel number")
+    a("--hchi", default="", help="child channel number")
+    a("--hag", default="NONE",
+      help="child feature aggregation: NONE, SUM, MEAN, MIN, MAX, or WMA")
+    # accelerator control (reference --useGpu/--gpuDeviceID; the TPU engine
+    # uses every visible device by default)
+    a("--useGpu", default="true")
+    a("--gpuDeviceID", type=int, default=-1)
+    a("--exclusivetiming", default="false")
     return p
+
+
+def _truthy(s: str) -> bool:
+    return str(s).lower() in ("true", "1", "yes", "on")
+
+
+def _aggregate_per_slide(df, noval):
+    """--aggr: one mean row per slide, ROI_label -1, NaN terms -> noval
+    (reference: output_2_csv.cpp:491-540)."""
+    import pandas as pd
+    rows = []
+    meta = ["intensity_image", "mask_image", "ROI_label", "t_index"]
+    feat_cols = [c for c in df.columns if c not in meta]
+    for (iname, mname), g in df.groupby(
+            ["intensity_image", "mask_image"], sort=False):
+        vals = g[feat_cols].to_numpy(np.float64)
+        n = len(g)
+        terms = np.where(np.isfinite(vals), vals / n, noval)
+        row = {"intensity_image": iname, "mask_image": mname,
+               "ROI_label": -1, "t_index": 0.0}
+        row.update(dict(zip(feat_cols, terms.sum(0))))
+        rows.append(row)
+    return pd.DataFrame(rows, columns=meta + feat_cols)
+
+
+def _nested_post_pass(args, df):
+    """--hsig/--hpar/--hchi/--hag: mine parent-child relations among the mask
+    files and optionally aggregate child features per parent
+    (reference: main_nyxus.cpp:124-135, cli_nested_roi_options.cpp:636)."""
+    import re
+    from .nested import aggregate_children, mine_segment_relations
+
+    sig = re.escape(args.hsig)
+    parent_pattern = ".*%s%s\\..*" % (sig, re.escape(args.hpar))
+    child_pattern = ".*%s%s\\..*" % (sig, re.escape(args.hchi))
+    rels = mine_segment_relations(args.segDir, parent_pattern, child_pattern,
+                                  with_child_image=True)
+    out = os.path.join(args.outDir, "nested_relations.csv")
+    rels[["Image", "Parent_Label", "Child_Label"]].to_csv(out, index=False)
+    print("wrote", out)
+    if args.hag.upper() != "NONE":
+        # child features come from the main run's output (the reference
+        # reads back the per-child-file CSVs, nested_roi_py.cpp:aggregate_features)
+        agg = aggregate_children(rels, df, args.hag)
+        out = os.path.join(args.outDir, "nested_aggregated.csv")
+        agg.to_csv(out)
+        print("wrote", out)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     # the reference also accepts --opt=value tokens; argparse handles both
 
-    from .api import Nyxus
-
-    nyx = Nyxus(
+    common = dict(
         features=[t for t in args.features.split(",") if t],
         coarse_gray_depth=args.coarseGrayDepth,
         neighbor_distance=args.pixelDistance,
-        ibsi=args.ibsi.lower() in ("true", "1", "yes", "on"),
-        gabor_kersize=args.gaborkersize,
-        gabor_gamma=args.gaborgamma,
-        gabor_sig2lam=args.gaborsig2lam,
-        gabor_f0=args.gaborf0,
-        gabor_thold=args.gaborthold,
-        gabor_thetas=[float(v) for v in args.gabortheta.split(",")],
-        gabor_freqs=[float(v) for v in args.gaborfreqs.split(",")],
+        ibsi=_truthy(args.ibsi),
         dynamic_range=args.fpimgdr,
         min_intensity=args.fpimgmin,
         max_intensity=args.fpimgmax,
         preserve_hu=args.preserve_hu,
         ram_limit=args.ramLimit,
+        anisotropy_x=args.anisox,
+        anisotropy_y=args.anisoy,
     )
+
+    if args.dim == 3:
+        from .api import Nyxus3D
+        nyx = Nyxus3D(anisotropy_z=args.anisoz, **common)
+    else:
+        from .api import Nyxus
+        nyx = Nyxus(
+            gabor_kersize=args.gaborkersize,
+            gabor_gamma=args.gaborgamma,
+            gabor_sig2lam=args.gaborsig2lam,
+            gabor_f0=args.gaborf0,
+            gabor_thold=args.gaborthold,
+            gabor_thetas=[float(v) for v in args.gabortheta.split(",")],
+            gabor_freqs=[float(v) for v in args.gaborfreqs.split(",")],
+            **common)
     nyx.cfg = nyx.cfg.replace(
         glcm_angles=tuple(int(v) for v in args.glcmAngles.split(",")),
         glcm_offset=args.glcmOff,
         noval=args.noval, tinyval=args.tinyval)
     nyx._compile()
-    if args.skiproi:
+    if args.skiproi and hasattr(nyx, "blacklist_roi"):
         nyx.blacklist_roi(args.skiproi)
 
     os.makedirs(args.outDir, exist_ok=True)
@@ -97,7 +177,19 @@ def main(argv=None):
         print("wrote", out)
         return 0
 
-    df = nyx.featurize_directory(args.intDir, args.segDir, args.filePattern)
+    if args.intSegMapFile:
+        from .io import dataset as ds
+        int_files, seg_files, _ = ds.read_2d_mapping(
+            args.intDir, args.segDir, args.intSegMapDir or args.intDir,
+            args.intSegMapFile)
+        df = nyx.featurize_files(int_files, seg_files)
+    else:
+        df = nyx.featurize_directory(args.intDir, args.segDir,
+                                     args.filePattern)
+
+    if _truthy(args.aggr):
+        df = _aggregate_per_slide(df, args.noval)
+
     if args.outputType == "singlecsv":
         out = os.path.join(args.outDir, args.resultFname + ".csv")
         df.to_csv(out, index=False)
@@ -108,6 +200,9 @@ def main(argv=None):
             out = os.path.join(args.outDir, base + ".csv")
             gdf.to_csv(out, index=False)
             print("wrote", out)
+
+    if args.hsig and args.hpar and args.hchi and args.dim == 2:
+        _nested_post_pass(args, df)
     return 0
 
 

@@ -54,3 +54,34 @@ def read_3d_dataset(int_dir: str, seg_dir: str, file_pattern: str = ".*"):
     """3D volume pairing (reference: dirs_and_files.cpp read_3D_dataset):
     same name-match pairing as 2D over volume files (.nii/.nii.gz)."""
     return read_2d_dataset(int_dir, seg_dir, file_pattern)
+
+
+def read_2d_mapping(int_dir: str, seg_dir: str, map_dir: str, map_file: str):
+    """Explicit intensity->mask pairing via a mapping file of
+    whitespace-separated name pairs (reference: dirs_and_files.cpp:118-160)."""
+    if not os.path.isdir(map_dir):
+        raise IOError("cannot access directory " + map_dir)
+    map_path = os.path.join(map_dir, map_file)
+    if not os.path.isfile(map_path):
+        raise IOError("cannot access file " + map_path)
+    intens, labels = [], []
+    with open(map_path) as f:
+        for lineno, ln in enumerate(f, 1):
+            parts = ln.split()
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise ValueError("cannot recognize a file name pair in line "
+                                 "#%d - %s" % (lineno, ln.strip()))
+            ipath = os.path.join(int_dir, parts[0])
+            spath = os.path.join(seg_dir, parts[1])
+            if not os.path.isfile(ipath):
+                raise IOError("cannot access file " + ipath)
+            if not os.path.isfile(spath):
+                raise IOError("cannot access file " + spath)
+            intens.append(ipath)
+            labels.append(spath)
+    if not intens:
+        raise ValueError("special mapping %s produced no intensity-label "
+                         "file pairs" % map_path)
+    return intens, labels, False
