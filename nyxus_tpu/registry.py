@@ -179,6 +179,29 @@ register("PixelIntensityFeatures", _intensity_family,
          extra_codes=(tx.F2D["HISTOGRAM"],))
 
 
+def _ih_family(ctx: BatchContext, cfg: EngineConfig):
+    from .ops import ih as ops_ih
+    dt = ctx.intens.dtype
+    if not cfg.ibsi:
+        # defensive compute-time gate (intensity_histogram.cpp:305-309);
+        # enablement is already IBSI-gated at parse time
+        nv = jnp.full((ctx.B,), cfg.noval, dt)
+        return {m: nv for m in ops_ih.MEMBERS}
+    # float-domain map (intensity_histogram.cpp:341-372): HU mode undoes the
+    # load-time slope-1 offset; integer in-memory images are a no-op
+    if cfg.preserve_hu:
+        poffset = jnp.floor(ctx.slide_min.astype(dt))
+        pscale = jnp.ones((ctx.B,), dt)
+    else:
+        poffset = pscale = None
+    return ops_ih.ih_features(ctx.sorted_values, ctx.area, ctx.vmin, ctx.vmax,
+                              cfg.coarse_gray_depth, cfg.noval,
+                              pscale, poffset)
+
+
+register("IntensityHistogramFeatures", _ih_family)
+
+
 def _glcm_family(ctx: BatchContext, cfg: EngineConfig):
     from .ops import glcm as ops_glcm
     if cfg.ibsi:
