@@ -17,6 +17,22 @@ def read_gray(path: str) -> np.ndarray:
     """Read a grayscale image (TIFF/PNG/...) as a 2D numpy array, preserving
     bit depth."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff"):
+        # fast path: native libtiff region server (tiled/strip, any dtype)
+        try:
+            from .. import native
+            if native.available():
+                with native.TiffReader(path) as r:
+                    if r.is_float:
+                        return r.read_all("f32")
+                    arr = r.read_all("u32")
+                    if r.is_signed:
+                        arr = arr.view(np.int32).copy()
+                    if not r.is_signed and r.bits <= 16:
+                        arr = arr.astype(np.uint16)
+                    return arr
+        except Exception:
+            pass
     try:
         from PIL import Image
         Image.MAX_IMAGE_PIXELS = None

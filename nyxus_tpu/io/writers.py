@@ -50,8 +50,28 @@ def write_dataframe(df: pd.DataFrame, output_type: str, output_path: str) -> str
         table = pa.Table.from_pandas(df, preserve_index=False)
         pq.write_table(table, out)
         return out
-    df.to_csv(out, index=False)
+    _write_csv(df, out)
     return out
+
+
+def _write_csv(df: pd.DataFrame, out: str):
+    """CSV via the native writer when available (the reference's CSV stage is
+    native, output_2_csv.cpp), pandas otherwise."""
+    from .. import native
+    num_cols = [c for c in df.columns
+                if pd.api.types.is_numeric_dtype(df[c].dtype)]
+    str_cols = [c for c in df.columns if c not in num_cols]
+    # native path requires the standard layout: string cols first
+    if (native.available() and str_cols and num_cols
+            and list(df.columns[:len(str_cols)]) == str_cols):
+        header = ",".join(str(c) for c in df.columns)
+        prefixes = [",".join(str(v) for v in row)
+                    for row in df[str_cols].itertuples(index=False)]
+        native.write_csv(out, header, prefixes,
+                         df[num_cols].to_numpy(np.float64),
+                         noval_text="nan", precision=17)
+        return
+    df.to_csv(out, index=False)
 
 
 class StreamingArrowWriter:

@@ -1,0 +1,205 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The reference keeps its I/O and output stages native (libtiff loaders,
+src/nyx/grayscale_tiff.h; CSV writer, src/nyx/output_2_csv.cpp). This package
+provides the TPU build's native equivalents:
+
+* ``TiffReader`` -- tiled/strip grayscale TIFF region server + streaming
+  prescan (any of u8/u16/u32/i8..i64/f32/f64, LZW/deflate/none compression
+  via libtiff)
+* ``write_csv`` -- feature-table CSV writer
+
+The shared library is compiled on first use with g++ (cached next to the
+sources); every entry point degrades gracefully (``available()`` -> False)
+when a toolchain or libtiff is missing, and the Python fallbacks in
+``nyxus_tpu.io.readers`` take over.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src")
+_LIB = os.path.join(_DIR, "_build", "libnyxnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_err = None
+
+_SOURCES = ("tiff_reader.cpp", "csv_writer.cpp")
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_LIB):
+        return True
+    lib_mtime = os.path.getmtime(_LIB)
+    return any(
+        os.path.getmtime(os.path.join(_SRC, s)) > lib_mtime for s in _SOURCES)
+
+
+def _build():
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    srcs = [os.path.join(_SRC, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+           *srcs, "-ltiff"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError("native build failed:\n" + proc.stderr)
+
+
+def _load():
+    global _lib, _build_err
+    with _lock:
+        if _lib is not None or _build_err is not None:
+            return _lib
+        try:
+            if _needs_build():
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except Exception as e:  # toolchain/libtiff missing -> Python fallback
+            _build_err = e
+            return None
+        lib.nyxtiff_open.restype = ctypes.c_void_p
+        lib.nyxtiff_open.argtypes = [ctypes.c_char_p]
+        lib.nyxtiff_info.restype = ctypes.c_int
+        lib.nyxtiff_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        for name, dt in (("f32", None), ("f64", None), ("u32", None)):
+            fn = getattr(lib, "nyxtiff_read_region_" + name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+                           ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p]
+        lib.nyxtiff_prescan.restype = ctypes.c_int
+        lib.nyxtiff_prescan.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+        lib.nyxtiff_close.restype = None
+        lib.nyxtiff_close.argtypes = [ctypes.c_void_p]
+        lib.nyxtiff_write.restype = ctypes.c_int
+        lib.nyxtiff_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_uint32, ctypes.c_int]
+        lib.nyxcsv_write.restype = ctypes.c_int
+        lib.nyxcsv_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_DTYPES = {"f32": np.float32, "f64": np.float64, "u32": np.uint32}
+
+
+class TiffReader:
+    """Region server over one grayscale TIFF (tiled or stripped)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable: %r" % _build_err)
+        self._lib = lib
+        self._h = lib.nyxtiff_open(path.encode())
+        if not self._h:
+            raise IOError("cannot open TIFF: %s" % path)
+        dims = np.zeros(8, np.uint32)
+        lib.nyxtiff_info(self._h, dims.ctypes.data_as(ctypes.c_void_p))
+        (self.width, self.height, self.tile_width, self.tile_height,
+         tiled, self.bits, sample_format, self.samples_per_pixel) = (
+            int(x) for x in dims)
+        self.tiled = bool(tiled)
+        self.is_float = sample_format == 3      # SAMPLEFORMAT_IEEEFP
+        self.is_signed = sample_format == 2     # SAMPLEFORMAT_INT
+
+    def read_region(self, y0: int, x0: int, h: int, w: int, dtype="f32"):
+        """Dense [h, w] region at (y0, x0); out-of-image margins are 0."""
+        out = np.empty((h, w), _DTYPES[dtype])
+        fn = getattr(self._lib, "nyxtiff_read_region_" + dtype)
+        rc = fn(self._h, y0, x0, h, w, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise IOError("TIFF region read failed (rc=%d)" % rc)
+        return out
+
+    def read_all(self, dtype="f32"):
+        return self.read_region(0, 0, self.height, self.width, dtype)
+
+    def prescan(self):
+        """(min, max, nonzero_count) over the whole slide, streamed
+        tile-by-tile (the reference's SlideProps prescan)."""
+        mn = ctypes.c_double()
+        mx = ctypes.c_double()
+        nz = ctypes.c_int64()
+        rc = self._lib.nyxtiff_prescan(
+            self._h, ctypes.byref(mn), ctypes.byref(mx), ctypes.byref(nz))
+        if rc != 0:
+            raise IOError("TIFF prescan failed (rc=%d)" % rc)
+        return mn.value, mx.value, nz.value
+
+    def close(self):
+        if self._h:
+            self._lib.nyxtiff_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+_WRITE_DTYPES = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 2,
+                 np.dtype(np.uint32): 4, np.dtype(np.float32): 16}
+
+
+def write_tiff(path, arr, tile_size=0, compression="lzw"):
+    """Write a grayscale TIFF (stripped, or tiled when tile_size > 0)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype not in _WRITE_DTYPES:
+        arr = np.ascontiguousarray(arr, np.float32)
+    comp = {"none": 0, "lzw": 1, "deflate": 2}[compression]
+    rc = lib.nyxtiff_write(path.encode(),
+                           arr.ctypes.data_as(ctypes.c_void_p),
+                           arr.shape[0], arr.shape[1],
+                           _WRITE_DTYPES[arr.dtype], tile_size, comp)
+    if rc != 0:
+        raise IOError("TIFF write failed (rc=%d)" % rc)
+
+
+def write_csv(path, header, row_prefixes, values, noval_text="nan",
+              append=False, precision=6, sub_negzero=False):
+    """Write a feature table to CSV natively.
+
+    header: str or None; row_prefixes: list[str] pre-rendered string-column
+    prefixes (no trailing comma); values: [nrows, ncols] float64.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    values = np.ascontiguousarray(values, np.float64)
+    n = values.shape[0]
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in row_prefixes])
+    rc = lib.nyxcsv_write(
+        path.encode(), header.encode() if header else None, arr,
+        values.ctypes.data_as(ctypes.c_void_p), n, values.shape[1],
+        noval_text.encode(), 1 if append else 0, precision,
+        1 if sub_negzero else 0)
+    if rc != 0:
+        raise IOError("CSV write failed (rc=%d)" % rc)

@@ -1,0 +1,69 @@
+"""Native C++ layer: libtiff region server, prescan, TIFF/CSV writers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nyxus_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.mark.parametrize("dtype,tile,comp", [
+    (np.uint16, 256, "lzw"), (np.float32, 128, "deflate"),
+    (np.uint32, 0, "none"), (np.uint8, 512, "lzw")])
+def test_tiff_roundtrip(tmp_path, dtype, tile, comp):
+    p = str(tmp_path / "t.tif")
+    arr = np.random.default_rng(1).integers(0, 255, (777, 513)).astype(dtype)
+    native.write_tiff(p, arr, tile_size=tile, compression=comp)
+    with native.TiffReader(p) as r:
+        assert r.tiled == (tile > 0)
+        assert (r.width, r.height) == (513, 777)
+        np.testing.assert_array_equal(r.read_all("f64"), arr)
+        # unaligned region straddling block boundaries + out-of-image margin
+        reg = r.read_region(250, 120, 300, 600, "f64")
+        want = np.zeros((300, 600))
+        want[:300, :393] = arr[250:550, 120:513]
+        np.testing.assert_array_equal(reg, want)
+        mn, mx, nz = r.prescan()
+        assert (mn, mx, nz) == (arr.min(), arr.max(), (arr != 0).sum())
+
+
+def test_reader_feeds_pipeline(tmp_path):
+    """End-to-end: native tiled TIFF -> featurize_files."""
+    from nyxus_tpu import Nyxus
+    intens = np.zeros((100, 100), np.uint16)
+    labels = np.zeros((100, 100), np.uint16)
+    intens[10:30, 10:40] = (np.arange(600).reshape(20, 30) + 7) % 1000
+    labels[10:30, 10:40] = 3
+    ip = str(tmp_path / "i.tif")
+    lp = str(tmp_path / "s.tif")
+    native.write_tiff(ip, intens, tile_size=64)
+    native.write_tiff(lp, labels, tile_size=64)
+    df = Nyxus(["MEAN", "AREA_PIXELS_COUNT"]).featurize_files([ip], [lp])
+    row = df.iloc[0]
+    assert row.AREA_PIXELS_COUNT == 600
+    assert row.MEAN == pytest.approx(intens[labels == 3].mean())
+
+
+def test_native_csv(tmp_path):
+    p = str(tmp_path / "o.csv")
+    native.write_csv(p, "a,b,X,Y", ["m,i", "m,i"],
+                     np.array([[1.5, -0.0], [float("nan"), 2e-7]]),
+                     noval_text="NaN", precision=6, sub_negzero=False)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "a,b,X,Y"
+    assert lines[1] == "m,i,1.5,-0"
+    assert lines[2] == "m,i,NaN,2e-07"
+
+
+def test_float_tiff_preserved(tmp_path):
+    p = str(tmp_path / "f.tif")
+    arr = np.random.default_rng(2).normal(0, 100, (64, 64)).astype(np.float32)
+    native.write_tiff(p, arr, tile_size=0, compression="deflate")
+    from nyxus_tpu.io import readers
+    got = readers.read_gray(p)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, arr)
