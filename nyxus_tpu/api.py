@@ -229,16 +229,9 @@ class Nyxus:
             intensity_dir, label_dir, file_pattern)
         frames = []
         for ipath, lpath in zip(int_files, lab_files):
-            intens = readers.read_gray(ipath)
-            if wholeslide:
-                labmat = np.ones(intens.shape, np.uint32)
-            else:
-                labmat = readers.read_gray(lpath).astype(np.uint32)
-            I = self._prep_intensity(intens)
             fname = os.path.basename(lpath or ipath)
-            labs, values = self._runner.run(I, labmat,
-                                            blacklist=self._blacklist,
-                                            fname=fname)
+            labs, values = self._run_pair_file(ipath, lpath, wholeslide,
+                                               fname)
             values = _force_finite(values, self.cfg.noval)
             frames.append(self._to_frame(ipath, lpath, labs, values))
         df = pd.concat(frames, ignore_index=True) if frames else \
@@ -258,17 +251,9 @@ class Nyxus:
         from .io import readers
         frames = []
         for k, ipath in enumerate(intensity_files):
-            intens = readers.read_gray(ipath)
-            if single_roi:
-                labmat = np.ones(intens.shape, np.uint32)
-                lpath = ipath
-            else:
-                lpath = mask_files[k]
-                labmat = readers.read_gray(lpath).astype(np.uint32)
-            I = self._prep_intensity(intens)
-            labs, values = self._runner.run(I, labmat,
-                                            blacklist=self._blacklist,
-                                            fname=os.path.basename(lpath))
+            lpath = ipath if single_roi else mask_files[k]
+            labs, values = self._run_pair_file(ipath, lpath, single_roi,
+                                               os.path.basename(lpath))
             values = _force_finite(values, self.cfg.noval)
             frames.append(self._to_frame(ipath, lpath, labs, values))
         df = pd.concat(frames, ignore_index=True)
@@ -277,6 +262,41 @@ class Nyxus:
         from .io import writers
         self._arrow_path = writers.write_dataframe(df, output_type, output_path)
         return self._arrow_path
+
+    def _run_pair_file(self, ipath, lpath, wholeslide, fname):
+        """Featurize one on-disk pair; big TIFF pairs stream tile-by-tile
+        through the native region server instead of materializing
+        (reference RAM gate: nontrivial split, phase1.cpp:104-118)."""
+        import os
+        from .io import readers
+        if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
+            src = None
+            try:
+                from . import native
+                from .pipeline import sources
+                if native.available():
+                    if wholeslide:
+                        src = sources.WholeSlideTiffSource(ipath)
+                    else:
+                        src = sources.TiffPairSource(ipath, lpath)
+            except Exception:
+                src = None  # unreadable by libtiff -> PIL/cv2 fallback below
+            if src is not None:
+                H, W = src.shape
+                # 16 B/px in-memory footprint (f64 intens + i64 labels)
+                if H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2:
+                    with src:
+                        return self._runner.run_streamed(
+                            src, blacklist=self._blacklist, fname=fname)
+                src.close()
+        intens = readers.read_gray(ipath)
+        if wholeslide:
+            labmat = np.ones(intens.shape, np.uint32)
+        else:
+            labmat = readers.read_gray(lpath).astype(np.uint32)
+        I = self._prep_intensity(intens)
+        return self._runner.run(I, labmat, blacklist=self._blacklist,
+                                fname=fname)
 
     def _prep_intensity(self, intens: np.ndarray) -> np.ndarray:
         if intens.size and intens.min() < 0:

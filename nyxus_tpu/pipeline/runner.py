@@ -1,9 +1,16 @@
-"""Batched feature-extraction runner for in-memory image pairs.
+"""Batched feature-extraction runner for image pairs.
 
 Orchestrates: label discovery -> bucketed batching -> one jitted multi-family
 kernel per bucket shape -> row assembly.  This is the TPU-native equivalent
 of the reference's 3-phase per-pair loop (reference:
 workflow_2d_segmented.cpp:35-159) collapsed into a single device pass.
+
+Two crop paths share the same core:
+* in-memory pairs: the slide lives in HBM once; per-ROI AABB crops are
+  device-side vmapped dynamic_slices (zero host traffic per batch)
+* file-backed pairs (``run_streamed``): per-ROI padded crops are gathered on
+  host through the native TIFF region server, so slides of arbitrary size
+  never materialize fully (the reference's tile re-scan, phase2_2d.cpp:89)
 """
 
 from __future__ import annotations
@@ -44,27 +51,37 @@ class HostContext:
     Host families run after device families and after earlier host families,
     so they may read previously computed features via ``get_feature``
     (the reference's fvals-mediated dependencies, e.g. hexagonality reading
-    NUM_NEIGHBORS and STAT_FERET_DIAM_*)."""
+    NUM_NEIGHBORS and STAT_FERET_DIAM_*).
 
-    def __init__(self, recs, contours, intens, label_img, get_feature):
+    Per-ROI pixel access goes through ``pair_crop``/``roi_points`` so the
+    same families work for in-memory pairs and streamed file pairs."""
+
+    def __init__(self, recs, contours, source, get_feature):
         self.recs = recs            # all RoiRecords of the pair
         self.contours = contours    # merged contour per ROI, local +1 coords
-        self.intens = intens
-        self.label_img = label_img
+        self.source = source        # ArrayPairSource | TiffPairSource
         self.get_feature = get_feature   # display/member name -> np [N]
         self.hulls = [None] * len(recs)  # filled by the convex-hull family
         self._points = {}
+        self._crops = {}
+
+    def pair_crop(self, i):
+        """(intens [h, w] float64, mask [h, w] bool) over ROI i's exact AABB."""
+        if i not in self._crops:
+            r = self.recs[i]
+            ii, ll = self.source.read_pair(r.y0, r.x0, r.height, r.width)
+            self._crops[i] = (ii, ll == r.label)
+        return self._crops[i]
 
     def roi_points(self, i):
         """(ys, xs) LOCAL pixel coordinates of ROI i."""
         if i not in self._points:
-            r = self.recs[i]
-            sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
-            self._points[i] = np.nonzero(self.label_img[sl] == r.label)
+            _, m = self.pair_crop(i)
+            self._points[i] = np.nonzero(m)
         return self._points[i]
 
 
-def _crop_batch(padded_intens, padded_labels, recs, shape, dtype):
+def _crop_batch_device(padded_intens, padded_labels, recs, shape, dtype):
     """Device-side batched AABB crops via vmapped dynamic_slice."""
     hb, wb = shape
     y0 = jnp.asarray([r.y0 for r in recs], jnp.int32)
@@ -113,53 +130,108 @@ class PairRunner:
             self._out_cols.extend(range(o, o + width))
         self._out_cols = np.asarray(self._out_cols, np.int64)
 
+    # ------------------------------------------------------------------
+    # public entry points
+
     def run(self, intens: np.ndarray, label_img: np.ndarray,
             blacklist=None, fname: str = ""):
-        """Returns (labels[int], values[N, n_values]) for all ROIs, ascending
-        label order. Unassigned features hold -0.0 (reference: roi_cache.h:17).
-        Blacklisted ROIs keep their row with unassigned values
-        (reference: workflow_2d_segmented.cpp:116-121)."""
+        """In-memory pair. Returns (labels[int], values[N, n_out]) for all
+        ROIs, ascending label order. Unassigned features hold -0.0
+        (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
+        unassigned values (reference: workflow_2d_segmented.cpp:116-121)."""
+        from .sources import ArrayPairSource
         all_recs, smin, smax = labels.discover_rois(intens, label_img)
+        source = ArrayPairSource(intens, label_img)
+        return self._run_core(all_recs, smin, smax, source, blacklist, fname,
+                              resident=(intens, label_img))
+
+    def run_streamed(self, source, blacklist=None, fname: str = "",
+                     tile: int = 2048):
+        """File-backed pair: tile-streamed discovery + per-batch region
+        reads; the slide never fully materializes in host or device RAM."""
+        all_recs, smin, smax = labels.discover_rois_streamed(source, tile)
+        return self._run_core(all_recs, smin, smax, source, blacklist, fname,
+                              resident=None)
+
+    # ------------------------------------------------------------------
+
+    def _run_core(self, all_recs, smin, smax, source, blacklist, fname,
+                  resident):
         if blacklist is not None and blacklist.defined:
-            keep = [r for r in all_recs if not blacklist.check(fname, r.label)]
+            recs = [r for r in all_recs
+                    if not blacklist.check(fname, r.label)]
         else:
-            keep = all_recs
+            recs = all_recs
         labs_all = np.asarray([r.label for r in all_recs], np.int64)
-        recs = keep
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, dtype=np.float64)
         if n == 0:
             out = np.full((len(all_recs), len(self._out_cols)), -0.0)
             return labs_all, out
 
+        batches = batching.group_rois(
+            recs, hbm_budget_bytes=self.cfg.ram_limit_mb << 20)
+        dtype = _compute_dtype(self.cfg)
+
+        # streamed mode gathers padded crops per batch on host; cache them
+        # for the contour pass so regions are read once
+        crop_cache = {}
+
+        def padded_crop(i, hb, wb):
+            key = (i, hb, wb)
+            if key not in crop_cache:
+                r = recs[i]
+                crop_cache[key] = source.read_pair(r.y0, r.x0, hb, wb)
+            return crop_cache[key]
+
         # host contour phase (reference: ContourFeature::buildRegularContour)
         contours = None
         if registry.contour_needed(self.fset):
             from . import contour as contour_mod
             contours = []
-            for r in recs:
-                sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
-                cm = label_img[sl] == r.label
-                contours.append(contour_mod.merged_contour(cm, intens[sl]))
+            for i, r in enumerate(recs):
+                if resident is not None:
+                    sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
+                    cm = resident[1][sl] == r.label
+                    ci = resident[0][sl]
+                else:
+                    hb, wb = batching.bucket_shape(r.height, r.width)
+                    ii, ll = padded_crop(i, hb, wb)
+                    cm = ll[:r.height, :r.width] == r.label
+                    ci = ii[:r.height, :r.width]
+                contours.append(contour_mod.merged_contour(cm, ci))
 
-        batches = batching.group_rois(
-            recs, hbm_budget_bytes=self.cfg.ram_limit_mb << 20)
-        dtype = _compute_dtype(self.cfg)
-
-        # pad once so every AABB crop is in-bounds
-        max_hb = max(s[0] for s, _ in batches)
-        max_wb = max(s[1] for s, _ in batches)
-        pi = np.zeros((intens.shape[0] + max_hb, intens.shape[1] + max_wb),
-                      dtype=np.float32 if dtype == jnp.float32 else np.float64)
-        pl = np.zeros_like(pi, dtype=np.int32)
-        pi[:intens.shape[0], :intens.shape[1]] = intens
-        pl[:label_img.shape[0], :label_img.shape[1]] = label_img
-        d_int = jnp.asarray(pi)
-        d_lab = jnp.asarray(pl)
+        if resident is not None:
+            # pad once so every device-side AABB crop is in-bounds
+            intens, label_img = resident
+            max_hb = max(s[0] for s, _ in batches)
+            max_wb = max(s[1] for s, _ in batches)
+            pi = np.zeros((intens.shape[0] + max_hb,
+                           intens.shape[1] + max_wb),
+                          dtype=np.float32 if dtype == jnp.float32
+                          else np.float64)
+            pl = np.zeros_like(pi, dtype=np.int32)
+            pi[:intens.shape[0], :intens.shape[1]] = intens
+            pl[:label_img.shape[0], :label_img.shape[1]] = label_img
+            d_int = jnp.asarray(pi)
+            d_lab = jnp.asarray(pl)
 
         for shape, idxs in batches:
             batch_recs = [recs[i] for i in idxs]
-            ci, cm = _crop_batch(d_int, d_lab, batch_recs, shape, dtype)
+            if resident is not None:
+                ci, cm = _crop_batch_device(d_int, d_lab, batch_recs, shape,
+                                            dtype)
+            else:
+                hb, wb = shape
+                np_dt = np.float32 if dtype == jnp.float32 else np.float64
+                ci_h = np.empty((len(idxs), hb, wb), np_dt)
+                cm_h = np.empty((len(idxs), hb, wb), bool)
+                for bi, i in enumerate(idxs):
+                    ii, ll = padded_crop(i, hb, wb)
+                    ci_h[bi] = ii
+                    cm_h[bi] = ll == recs[i].label
+                ci = jnp.asarray(ci_h)
+                cm = jnp.asarray(cm_h)
             area = jnp.asarray([r.area for r in batch_recs], jnp.int32)
             vmin = jnp.asarray([r.vmin for r in batch_recs], dtype)
             vmax = jnp.asarray([r.vmax for r in batch_recs], dtype)
@@ -172,11 +244,13 @@ class PairRunner:
 
             static_meta = ()
             if self.cfg.ibsi:
-                static_meta = (("max_int", int(max(r.vmax for r in batch_recs))),)
+                static_meta = (
+                    ("max_int", int(max(r.vmax for r in batch_recs))),)
 
             c_xy = c_valid = None
             if contours is not None and self._device_needs_contour:
-                cmax = max(max((contours[i].shape[0] for i in idxs), default=1), 1)
+                cmax = max(max((contours[i].shape[0] for i in idxs),
+                               default=1), 1)
                 cmax = -(-cmax // 64) * 64  # pad to x64 to bound recompiles
                 c_xy = np.zeros((len(idxs), cmax, 2), np.float64)
                 c_valid = np.zeros((len(idxs), cmax), bool)
@@ -192,6 +266,7 @@ class PairRunner:
                                   static_meta, c_xy, c_valid)
             out = jax.device_get(out)
             self._scatter(values, idxs, out)
+            crop_cache.clear()
 
         # host families (contour statistics etc.); ordered so later families
         # can read earlier results (hexagonality <- neighbors/feret/hull)
@@ -204,7 +279,7 @@ class PairRunner:
                 off, _ = self.member_slots[code]
                 return values[:, off]
 
-            hc = HostContext(recs, contours, intens, label_img, get_feature)
+            hc = HostContext(recs, contours, source, get_feature)
             for name in host_fams:
                 fam = registry.FAMILIES[name]
                 members = fam.host_fn(hc, self.cfg)

@@ -1,0 +1,97 @@
+"""Pair sources: uniform region access over in-memory arrays or on-disk
+slides.
+
+The reference reads tiles through ImageLoader and re-scans the slide per
+phase (reference: src/nyx/image_loader.h:13-37, phase1.cpp, phase2_2d.cpp).
+The TPU design abstracts "give me region [y0:y0+h, x0:x0+w) of the pair" so
+the same runner core drives NumPy montages and arbitrarily large tiled
+OME-TIFF slides; file-backed sources decode only the blocks a ROI batch
+touches via the native libtiff region server.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ArrayPairSource:
+    """Whole-pair-in-memory source (the Python featurize() montage path)."""
+
+    def __init__(self, intens: np.ndarray, label_img: np.ndarray):
+        self.intens = intens
+        self.labels = label_img
+        self.shape = label_img.shape
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        """(intens [h, w] float64, labels [h, w] int64); out-of-image
+        margins are zero."""
+        H, W = self.shape
+        ii = np.zeros((h, w), np.float64)
+        ll = np.zeros((h, w), np.int64)
+        y1, x1 = min(y0 + h, H), min(x0 + w, W)
+        ii[:y1 - y0, :x1 - x0] = self.intens[y0:y1, x0:x1]
+        ll[:y1 - y0, :x1 - x0] = self.labels[y0:y1, x0:x1]
+        return ii, ll
+
+    def close(self):
+        pass
+
+
+class TiffPairSource:
+    """Native-reader-backed source over one (intensity, mask) slide pair."""
+
+    def __init__(self, int_path: str, seg_path: str):
+        from .. import native
+        self._ir = native.TiffReader(int_path)
+        self._sr = native.TiffReader(seg_path)
+        if (self._ir.height, self._ir.width) != (self._sr.height,
+                                                 self._sr.width):
+            raise ValueError(
+                "intensity/mask dimension mismatch: %s vs %s" %
+                ((self._ir.height, self._ir.width),
+                 (self._sr.height, self._sr.width)))
+        self.shape = (self._ir.height, self._ir.width)
+        self.int_is_float = self._ir.is_float
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        # f64 conversion preserves signed/float sample values natively
+        ii = self._ir.read_region(y0, x0, h, w, "f64")
+        ll = self._sr.read_region(y0, x0, h, w, "u32").astype(np.int64)
+        return ii, ll
+
+    def close(self):
+        self._ir.close()
+        self._sr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class WholeSlideTiffSource:
+    """Streamed wholeslide mode: the whole intensity image is one ROI
+    (labels are constant 1; reference: nyxus.py wholeslide=True pairing)."""
+
+    def __init__(self, int_path: str):
+        from .. import native
+        self._ir = native.TiffReader(int_path)
+        self.shape = (self._ir.height, self._ir.width)
+        self.int_is_float = self._ir.is_float
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        ii = self._ir.read_region(y0, x0, h, w, "f64")
+        H, W = self.shape
+        ll = np.zeros((h, w), np.int64)
+        ll[:max(0, min(y0 + h, H) - y0), :max(0, min(x0 + w, W) - x0)] = 1
+        return ii, ll
+
+    def close(self):
+        self._ir.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

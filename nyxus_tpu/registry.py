@@ -535,9 +535,8 @@ register("HexagonalityPolygonalityFeature",
 
 def _imq_crop(hc, i):
     import numpy as np
-    r = hc.recs[i]
-    sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
-    return np.where(hc.label_img[sl] == r.label, hc.intens[sl], 0)
+    ii, m = hc.pair_crop(i)
+    return np.where(m, ii, 0)
 
 
 def _focus_host(hc, cfg):

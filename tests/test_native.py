@@ -67,3 +67,41 @@ def test_float_tiff_preserved(tmp_path):
     got = readers.read_gray(p)
     assert got.dtype == np.float32
     np.testing.assert_array_equal(got, arr)
+
+
+def test_streamed_matches_inmemory(tmp_path):
+    """Big-slide gate: a pair forced through run_streamed (tiny RAM limit)
+    must match the in-memory path feature-for-feature."""
+    from conftest import make_blobs
+    from nyxus_tpu import Nyxus
+
+    intens, labels = make_blobs(300, 400, 12, seed=5)
+    ip = str(tmp_path / "i.tif")
+    lp = str(tmp_path / "s.tif")
+    native.write_tiff(ip, intens.astype(np.uint16), tile_size=128)
+    native.write_tiff(lp, labels.astype(np.uint16), tile_size=128)
+
+    feats = ["*ALL_INTENSITY*", "*BASIC_MORPHOLOGY*", "PERIMETER",
+             "CONVEX_HULL_AREA", "GLCM_CONTRAST", "NUM_NEIGHBORS"]
+    mem = Nyxus(feats).featurize_files([ip], [lp])
+    # ram_limit 1 MB << 300*400*16 B forces the streamed path
+    st = Nyxus(feats, ram_limit=1).featurize_files([ip], [lp])
+    assert (st.ROI_label == mem.ROI_label).all()
+    for c in mem.columns[4:]:
+        np.testing.assert_allclose(st[c].to_numpy(), mem[c].to_numpy(),
+                                   rtol=1e-9, atol=1e-9, err_msg=c)
+
+
+def test_streamed_wholeslide(tmp_path):
+    from nyxus_tpu import Nyxus
+    rng = np.random.default_rng(3)
+    intens = rng.integers(1, 500, (200, 300)).astype(np.uint16)
+    ip = str(tmp_path / "w.tif")
+    native.write_tiff(ip, intens, tile_size=128)
+    feats = ["MEAN", "AREA_PIXELS_COUNT", "MAX", "MIN"]
+    df = Nyxus(feats, ram_limit=1).featurize_files([ip], None,
+                                                   single_roi=True)
+    row = df.iloc[0]
+    assert row.AREA_PIXELS_COUNT == 200 * 300
+    assert row.MEAN == pytest.approx(intens.mean())
+    assert row.MAX == intens.max() and row.MIN == intens.min()
