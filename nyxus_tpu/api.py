@@ -35,6 +35,7 @@ _KWARG_MAP = {
     "ram_limit": "ram_limit_mb",
     "anisotropy_x": "aniso_x",
     "anisotropy_y": "aniso_y",
+    "precision": "precision",
 }
 
 

@@ -119,6 +119,27 @@ def ih_features(values, counts, vmin, vmax, nbins: int, noval: float,
         poffset = jnp.zeros((B,), dt)
 
     valid = jnp.isfinite(values)
+
+    # frequency table: indices computed from RAW values (affine-invariant)
+    raw_rng = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+    idx = jnp.floor((values - vmin[:, None]) * (N / raw_rng)[:, None])
+    idx = jnp.clip(idx, 0, N - 1).astype(jnp.int32)
+    freq = masked_bincount(idx, valid.astype(dt), N)     # [B, N]
+    return ih_features_from_freq(freq, counts, vmin, vmax, nbins, noval,
+                                 pscale, poffset)
+
+
+def ih_features_from_freq(freq, counts, vmin, vmax, nbins: int, noval: float,
+                          pscale=None, poffset=None):
+    """IH stats from a precomputed N-bin frequency table (the oversized-ROI
+    streaming path accumulates ``freq`` tile-by-tile; reference analog:
+    IntensityHistogramFeatures::osized_calculate)."""
+    dt = freq.dtype
+    B, N = freq.shape
+    if pscale is None:
+        pscale = jnp.ones((B,), dt)
+    if poffset is None:
+        poffset = jnp.zeros((B,), dt)
     total = counts.astype(dt)
     bad = (vmax <= vmin) | (counts == 0)
     # guard against division by zero inside the math; 'bad' rows are replaced
@@ -128,12 +149,6 @@ def ih_features(values, counts, vmin, vmax, nbins: int, noval: float,
     min_val = poffset + pscale * vmin
     max_val = poffset + pscale * vmax
     binw = (max_val - min_val) / N
-
-    # frequency table: indices computed from RAW values (affine-invariant)
-    raw_rng = jnp.where(vmax > vmin, vmax - vmin, 1.0)
-    idx = jnp.floor((values - vmin[:, None]) * (N / raw_rng)[:, None])
-    idx = jnp.clip(idx, 0, N - 1).astype(jnp.int32)
-    freq = masked_bincount(idx, valid.astype(dt), N)     # [B, N]
     cum = jnp.cumsum(freq, axis=1)
     prob = freq / safe_total[:, None]
 

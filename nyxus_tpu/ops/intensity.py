@@ -30,17 +30,23 @@ from .common import masked_bincount, safe_div, take_per_row, last_true_value
 PERCENTS = (0.01, 0.10, 0.25, 0.75, 0.90, 0.99)
 
 
-def histogram_stats(values, n, vmin, vmax, nbins: int):
+def histogram_stats(values, n, vmin, vmax, nbins: int, weights=None):
     """Shared histogram statistics over sorted padded values.
 
     values: [B, A] ascending, padding = +inf; n: [B] areas;
     vmin, vmax: [B] per-ROI min/max.
+    weights: optional [B, A] per-sample multiplicities (the oversized-ROI
+    streaming path passes sorted UNIQUE values with their tile-accumulated
+    counts; None = every finite sample counts once).
     Returns dict with p01..p99, median, mode, entropy, uniformity, iqr, rmad,
     robust_mean, hist ([B, nbins] custom-bin frequencies).
     """
     B, A = values.shape
     valid = jnp.isfinite(values)
-    w = valid.astype(values.dtype)
+    if weights is None:
+        w = valid.astype(values.dtype)
+    else:
+        w = jnp.where(valid, weights.astype(values.dtype), 0.0)
     rng = vmax - vmin
 
     # --- 100-bin percentile histogram (histogram.h:50-62)
@@ -71,33 +77,54 @@ def histogram_stats(values, n, vmin, vmax, nbins: int):
 
     # --- exact median over the sorted sample (histogram.h:353-373)
     half = n // 2
-    v_hi = take_per_row(values, jnp.clip(half, 0, A - 1).astype(jnp.int32))
-    v_lo = take_per_row(values, jnp.clip(half - 1, 0, A - 1).astype(jnp.int32))
+    if weights is None:
+        v_hi = take_per_row(values, jnp.clip(half, 0, A - 1).astype(jnp.int32))
+        v_lo = take_per_row(values,
+                            jnp.clip(half - 1, 0, A - 1).astype(jnp.int32))
+    else:
+        # expanded-sample order statistic: element k = first value whose
+        # cumulative multiplicity exceeds k
+        cumw = jnp.cumsum(w, axis=1)
+
+        def v_at(k):
+            pos = jnp.sum((cumw <= k[:, None].astype(values.dtype)).astype(
+                jnp.int32), axis=1)
+            return take_per_row(values, jnp.clip(pos, 0, A - 1))
+
+        v_hi = v_at(half)
+        v_lo = v_at(half - 1)
     median = jnp.where(n % 2 != 0, v_hi, (v_lo + v_hi) / 2.0)
 
     # --- mode: smallest most-frequent value (histogram.h:375-395)
-    # run-length encode the sorted row in O(A): each element's run length is
-    # (index of run end) - (index of run start) + 1
-    import jax.lax as lax
-    idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
-    same_prev = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), values[:, 1:] == values[:, :-1]], axis=1)
-    is_start = ~same_prev
-    is_end = jnp.concatenate(
-        [values[:, 1:] != values[:, :-1], jnp.ones((B, 1), bool)], axis=1)
-    run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
-    run_end = lax.cummin(jnp.where(is_end, idx, A), axis=1, reverse=True)
-    per_elem_count = jnp.where(valid, run_end - run_start + 1, -1)
+    if weights is None:
+        # run-length encode the sorted row in O(A): each element's run length
+        # is (index of run end) - (index of run start) + 1
+        import jax.lax as lax
+        idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+        same_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), values[:, 1:] == values[:, :-1]], axis=1)
+        is_start = ~same_prev
+        is_end = jnp.concatenate(
+            [values[:, 1:] != values[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+        run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+        run_end = lax.cummin(jnp.where(is_end, idx, A), axis=1, reverse=True)
+        per_elem_count = jnp.where(valid, run_end - run_start + 1, -1)
+    else:
+        # values are unique per row: multiplicity IS the weight
+        per_elem_count = jnp.where(valid, w, -1.0)
     first_max = jnp.argmax(per_elem_count, axis=1)   # first idx of max count
     mode = take_per_row(values, first_max.astype(jnp.int32))
 
     # --- robust [p10, p90] statistics (intensity.cpp:171-185, histogram.h:86-106)
     in_1090 = valid & (values >= pcts[0.10][:, None]) & (values <= pcts[0.90][:, None])
-    w1090 = in_1090.astype(values.dtype)
+    w1090 = jnp.where(in_1090, w, 0.0)
     pop1090 = jnp.sum(w1090, axis=1)
-    mean1090 = safe_div(jnp.sum(jnp.where(in_1090, values, 0), axis=1), pop1090)
+    mean1090 = safe_div(jnp.sum(w1090 * jnp.where(in_1090, values, 0), axis=1),
+                        pop1090)
     rmad = safe_div(
-        jnp.sum(jnp.where(in_1090, jnp.abs(values - mean1090[:, None]), 0), axis=1),
+        jnp.sum(w1090 * jnp.where(in_1090,
+                                  jnp.abs(values - mean1090[:, None]), 0),
+                axis=1),
         pop1090)
     robust_mean = mean1090  # 0 when pop1090 == 0 via safe_div
 
@@ -111,29 +138,35 @@ def histogram_stats(values, n, vmin, vmax, nbins: int):
 
 
 def pixel_intensity_features(values, n, vmin, vmax, slide_range, nbins: int,
-                             noval: float):
+                             noval: float, weights=None):
     """All PixelIntensityFeatures outputs.
 
     values: [B, A] sorted ascending (+inf padding); n: [B] int areas;
     vmin/vmax: [B]; slide_range: [B] slide-level intensity range
     (max_preroi - min_preroi) for COVERED_IMAGE_INTENSITY_RANGE.
+    weights: optional [B, A] sample multiplicities (sorted-unique-value form
+    used by the oversized-ROI streaming path); None = each sample once.
     Returns dict member-name -> [B] (HISTOGRAM -> [B, nbins]).
     """
     dt = values.dtype
     valid = jnp.isfinite(values)
+    if weights is None:
+        wts = valid.astype(dt)
+    else:
+        wts = jnp.where(valid, weights.astype(dt), 0.0)
     nf = n.astype(dt)
 
-    sum_v = jnp.sum(jnp.where(valid, values, 0), axis=1)
-    energy = jnp.sum(jnp.where(valid, values * values, 0), axis=1)
+    sum_v = jnp.sum(wts * jnp.where(valid, values, 0), axis=1)
+    energy = jnp.sum(wts * jnp.where(valid, values * values, 0), axis=1)
     mean = safe_div(sum_v, nf)
     d = jnp.where(valid, values - mean[:, None], 0)
-    mad = jnp.sum(jnp.abs(d), axis=1) / jnp.maximum(nf, 1)
-    m2 = jnp.sum(d * d, axis=1)
-    m3 = jnp.sum(d * d * d, axis=1)
+    mad = jnp.sum(wts * jnp.abs(d), axis=1) / jnp.maximum(nf, 1)
+    m2 = jnp.sum(wts * d * d, axis=1)
+    m3 = jnp.sum(wts * d * d * d, axis=1)
     d2 = d * d
-    m4 = jnp.sum(d2 * d2, axis=1)
-    m5 = jnp.sum(d2 * d2 * d, axis=1)
-    m6 = jnp.sum(d2 * d2 * d2, axis=1)
+    m4 = jnp.sum(wts * d2 * d2, axis=1)
+    m5 = jnp.sum(wts * d2 * d2 * d, axis=1)
+    m6 = jnp.sum(wts * d2 * d2 * d2, axis=1)
 
     var_u = jnp.where(n > 1, m2 / jnp.maximum(nf - 1, 1), 0.0)
     var_b = jnp.where(n > 1, m2 / jnp.maximum(nf, 1), 0.0)
@@ -152,11 +185,11 @@ def pixel_intensity_features(values, n, vmin, vmax, slide_range, nbins: int,
     hskew = safe_div(m5, nf * sd5)
     hflat = safe_div(m6, nf * sd6)
 
-    hs = histogram_stats(values, n, vmin, vmax, nbins)
+    hs = histogram_stats(values, n, vmin, vmax, nbins, weights)
 
     piu = (1.0 - safe_div(vmax - vmin, vmax + vmin)) * 100.0
     qcod = safe_div(hs["p75"] - hs["p25"], hs["p75"] + hs["p25"])
-    medad = jnp.sum(jnp.abs(jnp.where(valid, values, 0) - jnp.where(valid, hs["median"][:, None], 0)), axis=1) / jnp.maximum(nf, 1)
+    medad = jnp.sum(wts * jnp.abs(jnp.where(valid, values, 0) - jnp.where(valid, hs["median"][:, None], 0)), axis=1) / jnp.maximum(nf, 1)
 
     out = {
         "INTEGRATED_INTENSITY": sum_v,

@@ -14,6 +14,7 @@ weighted W* variants}.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .common import safe_div
@@ -91,17 +92,12 @@ def moments_all(ctx, weights, prefix: str, contour_xy=None, contour_valid=None):
 
     # ---- weighted moments (distance-to-contour weighting)
     if contour_xy is not None:
-        # dist^2 from every pixel to every contour point, min-reduced.
-        # [B, HW, C] contraction: |p|^2 + |c|^2 - 2 p.c rides the MXU.
-        pix = jnp.stack([xs[0].reshape(-1), ys[0].reshape(-1)], axis=-1)  # [HW, 2]
-        pix = jnp.broadcast_to(pix[None], (weights.shape[0],) + pix.shape)
-        cxy = contour_xy.astype(dt)
-        p2 = jnp.sum(pix * pix, axis=-1)[:, :, None]
-        c2 = jnp.sum(cxy * cxy, axis=-1)[:, None, :]
-        pc = jnp.einsum("bpk,bck->bpc", pix, cxy, preferred_element_type=dt)
-        d2 = p2 + c2 - 2 * pc
-        d2 = jnp.where(contour_valid[:, None, :], d2, jnp.inf)
-        mind = jnp.sqrt(jnp.min(d2, axis=-1)).reshape(weights.shape)
+        # min dist^2 from every pixel to the contour, chunk-scanned on the
+        # MXU (ops.common.pix_contour_sqdist)
+        from .common import pix_contour_sqdist
+        mind2, _ = pix_contour_sqdist(weights.shape[0], H, W, contour_xy,
+                                      contour_valid, dt)
+        mind = jnp.sqrt(mind2)
         wweights = weights * jnp.log(mind + WEIGHTING_EPSILON)
 
         WS = _power_sums(wweights, xs, ys)

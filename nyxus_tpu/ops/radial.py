@@ -79,19 +79,9 @@ def _pixel_contour_sqdist(ctx):
     H, W = ctx.shape
 
     def build():
-        xs = jnp.arange(W, dtype=dt)
-        ys = jnp.arange(H, dtype=dt)
-        px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
-        pix = jnp.broadcast_to(px[None], (B,) + px.shape)
-        cxy = ctx.contour_xy.astype(dt)
-        p2 = jnp.sum(pix * pix, axis=-1)[:, :, None]
-        c2 = jnp.sum(cxy * cxy, axis=-1)[:, None, :]
-        pc = jnp.einsum("bpk,bck->bpc", pix, cxy, preferred_element_type=dt)
-        d2 = p2 + c2 - 2 * pc
-        big = jnp.asarray(jnp.inf, dt)
-        mind = jnp.min(jnp.where(ctx.contour_valid[:, None, :], d2, big), axis=-1)
-        maxd = jnp.max(jnp.where(ctx.contour_valid[:, None, :], d2, -big), axis=-1)
-        return mind.reshape(B, H, W), maxd.reshape(B, H, W)
+        from .common import pix_contour_sqdist
+        return pix_contour_sqdist(B, H, W, ctx.contour_xy,
+                                  ctx.contour_valid, dt, want_max=True)
 
     return ctx.cached("pix_contour_sqdist", build)
 

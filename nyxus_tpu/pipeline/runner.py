@@ -169,8 +169,20 @@ class PairRunner:
             out = np.full((len(all_recs), len(self._out_cols)), -0.0)
             return labs_all, out
 
-        batches = batching.group_rois(
-            recs, hbm_budget_bytes=self.cfg.ram_limit_mb << 20)
+        # trivial/oversized split (reference RAM gate,
+        # workflow_2d_segmented.cpp:124-139): oversized ROIs take the
+        # streamed-accumulation path and never materialize a dense crop
+        from . import oversized as ovs
+        budget = self.cfg.ram_limit_mb << 20
+        over_rows = [i for i, r in enumerate(recs)
+                     if ovs.is_oversized(r, budget)]
+        over_set = set(over_rows)
+        triv_rows = [i for i in range(n) if i not in over_set]
+
+        batches = []
+        for shape, sub in batching.group_rois(
+                [recs[i] for i in triv_rows], hbm_budget_bytes=budget):
+            batches.append((shape, [triv_rows[j] for j in sub]))
         dtype = _compute_dtype(self.cfg)
 
         # streamed mode gathers padded crops per batch on host; cache them
@@ -190,6 +202,9 @@ class PairRunner:
             from . import contour as contour_mod
             contours = []
             for i, r in enumerate(recs):
+                if i in over_set:   # no dense crop for oversized ROIs
+                    contours.append(None)
+                    continue
                 if resident is not None:
                     sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
                     cm = resident[1][sl] == r.label
@@ -201,7 +216,7 @@ class PairRunner:
                     ci = ii[:r.height, :r.width]
                 contours.append(contour_mod.merged_contour(cm, ci))
 
-        if resident is not None:
+        if resident is not None and batches:
             # pad once so every device-side AABB crop is in-bounds
             intens, label_img = resident
             max_hb = max(s[0] for s, _ in batches)
@@ -268,22 +283,38 @@ class PairRunner:
             self._scatter(values, idxs, out)
             crop_cache.clear()
 
+        # oversized ROIs: streamed sufficient-statistic pass per ROI
+        # (reference phase 3, phase3.cpp:24-127)
+        for i in over_rows:
+            res = ovs.process(recs[i], source, self.cfg, self.families,
+                              smin, smax)
+            res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
+                   for fam, mem in res.items()}
+            self._scatter(values, [i], res)
+
         # host families (contour statistics etc.); ordered so later families
-        # can read earlier results (hexagonality <- neighbors/feret/hull)
+        # can read earlier results (hexagonality <- neighbors/feret/hull).
+        # Oversized ROIs are excluded (no contour/dense crop); their host
+        # members stay unassigned.
         host_fams = registry.host_families_for(self.fset)
-        if host_fams:
+        if host_fams and triv_rows:
+            rows = np.asarray(triv_rows)
+
             def get_feature(member):
                 code = tx.NAME2CODE_2D.get(member)
                 if code is None or code not in self.member_slots:
-                    return np.zeros(n)
+                    return np.zeros(len(rows))
                 off, _ = self.member_slots[code]
-                return values[:, off]
+                return values[rows, off]
 
-            hc = HostContext(recs, contours, source, get_feature)
+            sub_contours = (None if contours is None else
+                            [contours[i] for i in triv_rows])
+            hc = HostContext([recs[i] for i in triv_rows], sub_contours,
+                             source, get_feature)
             for name in host_fams:
                 fam = registry.FAMILIES[name]
                 members = fam.host_fn(hc, self.cfg)
-                self._scatter(values, list(range(n)), {name: members})
+                self._scatter(values, triv_rows, {name: members})
 
         if len(recs) != len(all_recs):
             # reinsert blacklisted rows with unassigned values
