@@ -481,11 +481,27 @@ class Nyxus3D:
         if output_type not in self._valid_output_types:
             raise ValueError("Invalid output type %s. Valid output types are %s."
                              % (output_type, self._valid_output_types))
-        int_files, lab_files, _ = ds.read_3d_dataset(
-            intensity_dir, label_dir, file_pattern)
         frames = []
-        for ipath, lpath in zip(int_files, lab_files):
-            frames.append(self._featurize_volume_pair(ipath, lpath))
+        from .io.strpat import StringPattern
+        if StringPattern.is_layoutA_fpattern(file_pattern):
+            # 2.5D: z-stacks of 2D slice files form volumes
+            # (reference: phase2_25d.cpp, Imgfile3D_layoutA)
+            for key, ipaths, lpaths in ds.read_3d_layoutA(
+                    intensity_dir, label_dir, file_pattern):
+                ivol = np.stack([readers.read_gray(p) for p in ipaths])
+                lvol = np.stack([readers.read_gray(p) for p in lpaths])
+                labs, values = self._runner.run(
+                    self._prep(ivol), lvol.astype(np.int32))
+                values = _force_finite(values, self.cfg.noval)
+                frames.append(_frame(self.header,
+                                     os.path.join(intensity_dir, key),
+                                     os.path.join(label_dir, key),
+                                     labs, values))
+        else:
+            int_files, lab_files, _ = ds.read_3d_dataset(
+                intensity_dir, label_dir, file_pattern)
+            for ipath, lpath in zip(int_files, lab_files):
+                frames.append(self._featurize_volume_pair(ipath, lpath))
         df = pd.concat(frames, ignore_index=True) if frames else \
             _frame(self.header, "", "", np.zeros(0, np.int64),
                    np.zeros((0, len(self.header) - 4)))

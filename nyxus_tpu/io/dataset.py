@@ -85,3 +85,35 @@ def read_2d_mapping(int_dir: str, seg_dir: str, map_dir: str, map_file: str):
         raise ValueError("special mapping %s produced no intensity-label "
                          "file pairs" % map_path)
     return intens, labels, False
+
+
+def read_3d_layoutA(int_dir: str, seg_dir: str, file_pattern: str):
+    """Layout-A z-stack grouping (reference: readDirectoryFiles_3D +
+    Imgfile3D_layoutA, dirs_and_files.h:32-75): files whose names differ only
+    in the {set d+} digits form one volume.
+
+    Returns [(volume_key, [int slice paths], [seg slice paths])] with slices
+    in ascending z order."""
+    from .strpat import StringPattern, group_zstack
+
+    sp = StringPattern(file_pattern)
+    if not sp.good():
+        raise ValueError("bad file pattern '%s': %s"
+                         % (file_pattern, sp.ermsg))
+    ivols = group_zstack(sorted(os.listdir(int_dir)), sp)
+    lvols = group_zstack(sorted(os.listdir(seg_dir)), sp)
+    out = []
+    for key in sorted(ivols):
+        if key not in lvols:
+            raise ValueError("mismatch: intensity volume %s has no mask" % key)
+        iz, lz = ivols[key], lvols[key]
+        if iz != lz:
+            raise ValueError("z-stack mismatch for %s: intensity %d slices "
+                             "vs mask %d" % (key, len(iz), len(lz)))
+        ipaths = [os.path.join(int_dir, key.replace("*", z)) for z in iz]
+        lpaths = [os.path.join(seg_dir, key.replace("*", z)) for z in lz]
+        out.append((key, ipaths, lpaths))
+    if not out:
+        raise ValueError("No intensity and/or label file pairs to process, "
+                         "probably due to file pattern " + file_pattern)
+    return out

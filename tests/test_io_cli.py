@@ -109,3 +109,47 @@ def test_cli(tiff_dirs, tmp_path):
     assert csv.exists()
     df = pd.read_csv(csv)
     assert {"MEAN", "MAX", "ROI_label"} <= set(df.columns)
+
+
+def test_strpat_layoutA():
+    from nyxus_tpu.io.strpat import StringPattern, group_zstack
+    sp = StringPattern("BRATS_{d+}_z{set d+}_t{d+}.ome.tif")
+    assert sp.good() and sp.is_25d
+    key, z = sp.match("BRATS_001_z004_t002.ome.tif")
+    assert key == "BRATS_001_z*_t002.ome.tif" and z == "004"
+    assert sp.match("BRATS_x_z004_t002.ome.tif") is None
+    vols = group_zstack(["a_z2.tif", "a_z10.tif", "a_z1.tif"],
+                        StringPattern("a_z{set d+}.tif"))
+    assert vols == {"a_z*.tif": ["1", "2", "10"]}
+    bad = StringPattern("x{q+}.tif")
+    assert not bad.good() and "{Expression}" in bad.ermsg
+
+
+def test_25d_zstack_directory(tmp_path):
+    """2.5D: per-z 2D slice files grouped into one volume must match the
+    in-memory 3D result (reference: phase2_25d.cpp z-stack scan)."""
+    from nyxus_tpu import Nyxus3D
+
+    r = np.random.default_rng(4)
+    Z, H, W = 4, 48, 64
+    ivol = r.integers(1, 900, (Z, H, W)).astype(np.uint16)
+    lvol = np.zeros((Z, H, W), np.uint16)
+    lvol[1:3, 10:30, 15:45] = 2
+    lvol[0:4, 35:44, 5:20] = 7
+    int_dir = tmp_path / "int"
+    seg_dir = tmp_path / "seg"
+    int_dir.mkdir()
+    seg_dir.mkdir()
+    for z in range(Z):
+        readers.write_gray(str(int_dir / ("vol1_z0%d.tif" % z)), ivol[z])
+        readers.write_gray(str(seg_dir / ("vol1_z0%d.tif" % z)), lvol[z])
+
+    feats = ["3VOXEL_VOLUME", "3MEAN", "3MAX", "3GLCM_CONTRAST"]
+    nyx = Nyxus3D(feats)
+    df = nyx.featurize_directory(str(int_dir), str(seg_dir),
+                                 file_pattern="vol{d+}_z{set d+}.tif")
+    ref = nyx.featurize([ivol], [lvol])
+    assert list(df.ROI_label) == list(ref.ROI_label) == [2, 7]
+    for c in df.columns[4:]:
+        np.testing.assert_allclose(df[c].to_numpy(), ref[c].to_numpy(),
+                                   rtol=1e-12, err_msg=c)
