@@ -533,11 +533,11 @@ class Nyxus3D:
         """One volume pair; per-time-frame loop mirrors
         workflow_3d_segmented.cpp:203-206 (t_index column)."""
         from .io import readers
-        ivol, imeta = readers.read_nifti(ipath, with_meta=True)
+        ivol, imeta = readers.read_volume(ipath, with_meta=True)
         if single_roi:
             lvol = np.ones(ivol.shape, np.int32)
         else:
-            lvol, _ = readers.read_nifti(lpath, with_meta=True)
+            lvol, _ = readers.read_volume(lpath, with_meta=True)
         nt = max(imeta["nt"], 1)
         frames = []
         for t in range(nt):

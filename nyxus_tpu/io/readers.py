@@ -14,9 +14,15 @@ import numpy as np
 
 
 def read_gray(path: str) -> np.ndarray:
-    """Read a grayscale image (TIFF/PNG/...) as a 2D numpy array, preserving
-    bit depth."""
+    """Read a grayscale image (TIFF/PNG/OME-Zarr/DICOM/...) as a 2D numpy
+    array, preserving bit depth."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".zarr" or os.path.isdir(path):
+        from .zarr import OmeZarrReader
+        return OmeZarrReader(path).read_slice()
+    if ext in (".dcm", ".dicom"):
+        from .dicom import read_dicom_gray
+        return read_dicom_gray(path)
     if ext in (".tif", ".tiff"):
         # fast path: native libtiff region server (tiled/strip, any dtype)
         try:
@@ -157,3 +163,17 @@ def write_nifti(path: str, vol: np.ndarray):
         payload = gzip.compress(payload)
     with open(path, "wb") as f:
         f.write(payload)
+
+
+def read_volume(path: str, with_meta: bool = False):
+    """Read a volume file as [T, Z, Y, X]: NIfTI (.nii/.nii.gz) or OME-Zarr
+    (.zarr directory) -- the reference's ImageLoader extension dispatch
+    (image_loader.cpp:27-176) for volumetric inputs."""
+    low = path.lower()
+    if low.endswith(".zarr") or os.path.isdir(path):
+        from .zarr import OmeZarrReader
+        z = OmeZarrReader(path)
+        vol = np.stack([z.read_volume(t=t) for t in range(z.nt)])
+        return (vol, {"nt": z.nt, "slope": 1.0, "inter": 0.0}) \
+            if with_meta else vol
+    return read_nifti(path, with_meta)

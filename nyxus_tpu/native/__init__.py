@@ -32,7 +32,7 @@ _lock = threading.Lock()
 _lib = None
 _build_err = None
 
-_SOURCES = ("tiff_reader.cpp", "csv_writer.cpp")
+_SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp")
 
 
 def _needs_build() -> bool:
@@ -89,6 +89,16 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int]
+        for name in ("nyx_lz4_decompress", "nyx_lz4_compress",
+                     "nyx_blosc_decompress"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                           ctypes.c_int]
+        lib.nyx_blosc_compress_lz4.restype = ctypes.c_int
+        lib.nyx_blosc_compress_lz4.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -203,3 +213,46 @@ def write_csv(path, header, row_prefixes, values, noval_text="nan",
         1 if sub_negzero else 0)
     if rc != 0:
         raise IOError("CSV write failed (rc=%d)" % rc)
+
+
+def blosc_decompress(buf: bytes, nbytes_out: int) -> bytes:
+    """Decode one c-blosc1 container (lz4/zlib/memcpy codecs, byte shuffle)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    out = ctypes.create_string_buffer(nbytes_out)
+    rc = lib.nyx_blosc_decompress(buf, len(buf), out, nbytes_out)
+    if rc == -2:
+        raise ValueError("blosc bitshuffle filter is not supported")
+    if rc == -3:
+        raise ValueError("unsupported blosc inner codec (only lz4/zlib)")
+    if rc < 0:
+        raise ValueError("corrupt blosc stream")
+    return out.raw[:rc]
+
+
+def blosc_compress_lz4(buf: bytes, typesize: int = 1,
+                       shuffle: bool = True) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    cap = 16 + 8 + len(buf) + len(buf) // 128 + 64
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.nyx_blosc_compress_lz4(buf, len(buf), typesize,
+                                    1 if shuffle else 0, out, cap)
+    if rc < 0:
+        raise ValueError("blosc compress failed")
+    return out.raw[:rc]
+
+
+def lz4_roundtrip_check(buf: bytes) -> bool:
+    """Mechanics self-test helper: compress+decompress equals input."""
+    lib = _load()
+    cap = len(buf) + len(buf) // 128 + 64
+    comp = ctypes.create_string_buffer(cap)
+    n = lib.nyx_lz4_compress(buf, len(buf), comp, cap)
+    if n < 0:
+        return False
+    out = ctypes.create_string_buffer(len(buf))
+    m = lib.nyx_lz4_decompress(comp, n, out, len(buf))
+    return m == len(buf) and out.raw == buf

@@ -1,0 +1,115 @@
+"""Mechanics tests: OME-Zarr and DICOM readers (reference analogs:
+tests/test_omezarr_mechanics.h, test_hu_ct_small_pydicom.py)."""
+
+import numpy as np
+import pytest
+
+from nyxus_tpu import native
+from nyxus_tpu.io import readers
+from nyxus_tpu.io.dicom import read_dicom, write_dicom_gray
+from nyxus_tpu.io.zarr import OmeZarrReader, ZarrArray, write_zarr
+
+
+@pytest.mark.parametrize("comp", ["blosc", "zlib", None])
+def test_zarr_roundtrip(tmp_path, comp):
+    if comp == "blosc" and not native.available():
+        pytest.skip("native codec unavailable")
+    r = np.random.default_rng(2)
+    arr = r.integers(0, 60000, (150, 217)).astype(np.uint16)
+    p = str(tmp_path / "img.zarr")
+    write_zarr(p, arr, chunks=(1, 1, 1, 64, 64), compressor=comp)
+    z = OmeZarrReader(p)
+    assert (z.nt, z.nc, z.nz, z.height, z.width) == (1, 1, 1, 150, 217)
+    np.testing.assert_array_equal(z.read_slice(), arr)
+    # unaligned region straddling chunk boundaries
+    za = ZarrArray(str(tmp_path / "img.zarr" / "0"))
+    reg = za.read_region([0, 0, 0, 50, 30], [1, 1, 1, 80, 150])
+    np.testing.assert_array_equal(reg[0, 0, 0], arr[50:130, 30:180])
+
+
+def test_zarr_volume(tmp_path):
+    r = np.random.default_rng(3)
+    vol = r.integers(0, 900, (4, 40, 50)).astype(np.uint16)
+    p = str(tmp_path / "vol.zarr")
+    write_zarr(p, vol, chunks=(1, 1, 2, 32, 32), compressor="zlib")
+    z = OmeZarrReader(p)
+    np.testing.assert_array_equal(z.read_volume(), vol)
+    np.testing.assert_array_equal(z.read_slice(z=2), vol[2])
+
+
+def test_zarr_featurize(tmp_path):
+    from nyxus_tpu import Nyxus
+    intens = np.zeros((80, 90), np.uint16)
+    labels = np.zeros((80, 90), np.uint16)
+    intens[10:40, 20:60] = np.arange(1200).reshape(30, 40) + 5
+    labels[10:40, 20:60] = 9
+    write_zarr(str(tmp_path / "i.zarr"), intens, compressor="zlib")
+    write_zarr(str(tmp_path / "s.zarr"), labels, compressor="zlib")
+    df = Nyxus(["MEAN", "AREA_PIXELS_COUNT"]).featurize_files(
+        [str(tmp_path / "i.zarr")], [str(tmp_path / "s.zarr")])
+    assert df.iloc[0].AREA_PIXELS_COUNT == 1200
+    assert df.iloc[0].MEAN == pytest.approx(5 + 1199 / 2)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16])
+def test_dicom_roundtrip(tmp_path, dtype):
+    r = np.random.default_rng(4)
+    lo, hi = (-900, 2000) if np.dtype(dtype).kind == "i" else (0, 250)
+    arr = r.integers(lo, hi, (64, 80)).astype(dtype)
+    p = str(tmp_path / "ct.dcm")
+    write_dicom_gray(p, arr)
+    got, meta = read_dicom(p)
+    np.testing.assert_array_equal(got, arr)
+    assert (meta["rows"], meta["cols"]) == (64, 80)
+
+
+def test_dicom_hounsfield(tmp_path):
+    """CT with RescaleSlope/Intercept: stored values map to HU
+    (reference: tests/python/test_hu_ct_small_pydicom.py semantics)."""
+    r = np.random.default_rng(5)
+    stored = r.integers(0, 4000, (32, 32)).astype(np.uint16)
+    p = str(tmp_path / "hu.dcm")
+    write_dicom_gray(p, stored, slope=1.0, intercept=-1024.0)
+    got, meta = read_dicom(p)
+    np.testing.assert_array_equal(got, stored.astype(np.int32) - 1024)
+    assert got.dtype == np.int32
+
+
+def test_dicom_featurize(tmp_path):
+    from nyxus_tpu import Nyxus
+    intens = np.zeros((60, 60), np.uint16)
+    labels = np.zeros((60, 60), np.uint16)
+    intens[5:25, 5:35] = np.arange(600).reshape(20, 30) + 100
+    labels[5:25, 5:35] = 2
+    write_dicom_gray(str(tmp_path / "i.dcm"), intens)
+    readers.write_gray(str(tmp_path / "s.tif"), labels)
+    df = Nyxus(["MEAN", "MAX", "AREA_PIXELS_COUNT"]).featurize_files(
+        [str(tmp_path / "i.dcm")], [str(tmp_path / "s.tif")])
+    row = df.iloc[0]
+    assert row.AREA_PIXELS_COUNT == 600
+    assert row.MAX == 699
+    assert row.MEAN == pytest.approx(100 + 599 / 2)
+
+
+def test_dicom_rejects_compressed(tmp_path):
+    # fabricate a file claiming a JPEG transfer syntax
+    import struct
+    from nyxus_tpu.io.dicom import _el
+    body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.50")
+    with open(tmp_path / "bad.dcm", "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + body)
+    with pytest.raises(ValueError, match="transfer syntax"):
+        read_dicom(str(tmp_path / "bad.dcm"))
+
+
+def test_zarr_3d_featurize(tmp_path):
+    from nyxus_tpu import Nyxus3D
+    r = np.random.default_rng(6)
+    ivol = r.integers(1, 500, (3, 30, 40)).astype(np.uint16)
+    lvol = np.zeros((3, 30, 40), np.uint16)
+    lvol[:, 5:25, 5:35] = 3
+    write_zarr(str(tmp_path / "iv.zarr"), ivol, compressor="zlib")
+    write_zarr(str(tmp_path / "lv.zarr"), lvol, compressor="zlib")
+    df = Nyxus3D(["3MEAN", "3VOXEL_VOLUME"]).featurize_files(
+        [str(tmp_path / "iv.zarr")], [str(tmp_path / "lv.zarr")])
+    assert df.iloc[0]["3MEAN"] == pytest.approx(ivol[lvol == 3].mean())
