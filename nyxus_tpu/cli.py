@@ -131,6 +131,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     # the reference also accepts --opt=value tokens; argparse handles both
 
+    from .timing import Stopwatch, set_verbosity
+    set_verbosity(args.verbose)
+    if _truthy(args.exclusivetiming) or Stopwatch.enabled():
+        Stopwatch.enable()
+        Stopwatch.exclusive = _truthy(args.exclusivetiming)
+
     common = dict(
         features=[t for t in args.features.split(",") if t],
         coarse_gray_depth=args.coarseGrayDepth,
@@ -200,6 +206,15 @@ def main(argv=None):
             out = os.path.join(args.outDir, base + ".csv")
             gdf.to_csv(out, index=False)
             print("wrote", out)
+
+    if Stopwatch.enabled():
+        # <seg>_nyxustiming.csv per run (reference:
+        # workflow_2d_segmented.cpp:369-394)
+        base = os.path.basename(os.path.normpath(args.segDir or "run"))
+        tpath = os.path.join(args.outDir, base + "_nyxustiming.csv")
+        Stopwatch.save_csv(tpath)
+        if args.verbose >= 1:
+            print(Stopwatch.summary())
 
     if args.hsig and args.hpar and args.hchi and args.dim == 2:
         _nested_post_pass(args, df)

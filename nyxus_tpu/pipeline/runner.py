@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import columns as col
+from ..timing import stopwatch, vlog
 from .. import registry
 from .. import taxonomy as tx
 from ..config import EngineConfig
@@ -140,7 +141,8 @@ class PairRunner:
         (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
         unassigned values (reference: workflow_2d_segmented.cpp:116-121)."""
         from .sources import ArrayPairSource
-        all_recs, smin, smax = labels.discover_rois(intens, label_img)
+        with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
+            all_recs, smin, smax = labels.discover_rois(intens, label_img)
         source = ArrayPairSource(intens, label_img)
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=(intens, label_img))
@@ -149,7 +151,8 @@ class PairRunner:
                      tile: int = 2048):
         """File-backed pair: tile-streamed discovery + per-batch region
         reads; the slide never fully materializes in host or device RAM."""
-        all_recs, smin, smax = labels.discover_rois_streamed(source, tile)
+        with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
+            all_recs, smin, smax = labels.discover_rois_streamed(source, tile)
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=None)
 
@@ -199,6 +202,8 @@ class PairRunner:
         # host contour phase (reference: ContourFeature::buildRegularContour)
         contours = None
         if registry.contour_needed(self.fset):
+            sw_contour = stopwatch("Pipeline/Contours/#777799")
+            sw_contour.__enter__()
             from . import contour as contour_mod
             contours = []
             for i, r in enumerate(recs):
@@ -215,6 +220,7 @@ class PairRunner:
                     cm = ll[:r.height, :r.width] == r.label
                     ci = ii[:r.height, :r.width]
                 contours.append(contour_mod.merged_contour(cm, ci))
+            sw_contour.__exit__()
 
         if resident is not None and batches:
             # pad once so every device-side AABB crop is in-bounds
@@ -231,7 +237,11 @@ class PairRunner:
             d_int = jnp.asarray(pi)
             d_lab = jnp.asarray(pl)
 
+        vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
+             % (len(batches), len(triv_rows), len(over_rows)))
         for shape, idxs in batches:
+            sw_batch = stopwatch("Pipeline/Phase2_device_batches/#33cc77")
+            sw_batch.__enter__()
             batch_recs = [recs[i] for i in idxs]
             if resident is not None:
                 ci, cm = _crop_batch_device(d_int, d_lab, batch_recs, shape,
@@ -282,12 +292,15 @@ class PairRunner:
             out = jax.device_get(out)
             self._scatter(values, idxs, out)
             crop_cache.clear()
+            sw_batch.__exit__()
+            vlog(3, "\t\tbatch %dx%dx%d done" % (len(idxs), *shape))
 
         # oversized ROIs: streamed sufficient-statistic pass per ROI
         # (reference phase 3, phase3.cpp:24-127)
         for i in over_rows:
-            res = ovs.process(recs[i], source, self.cfg, self.families,
-                              smin, smax)
+            with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
+                res = ovs.process(recs[i], source, self.cfg, self.families,
+                                  smin, smax)
             res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
                    for fam, mem in res.items()}
             self._scatter(values, [i], res)
@@ -313,7 +326,8 @@ class PairRunner:
                              source, get_feature)
             for name in host_fams:
                 fam = registry.FAMILIES[name]
-                members = fam.host_fn(hc, self.cfg)
+                with stopwatch("Pipeline/Host/%s/#bbbbbb" % name):
+                    members = fam.host_fn(hc, self.cfg)
                 self._scatter(values, triv_rows, {name: members})
 
         if len(recs) != len(all_recs):

@@ -153,3 +153,50 @@ def test_25d_zstack_directory(tmp_path):
     for c in df.columns[4:]:
         np.testing.assert_allclose(df[c].to_numpy(), ref[c].to_numpy(),
                                    rtol=1e-12, err_msg=c)
+
+
+def test_timing_stopwatch(tmp_path):
+    """CHECKTIMING equivalent: stage accumulators, exclusive mode, CSV dump
+    (reference: helpers/timing.h:9-39)."""
+    import time
+    from nyxus_tpu.timing import Stopwatch, stopwatch
+
+    Stopwatch.reset()
+    Stopwatch.enable()
+    try:
+        with stopwatch("Outer/Stage/#ff0000"):
+            time.sleep(0.02)
+            with stopwatch("Outer/Inner/#00ff00"):
+                time.sleep(0.02)
+        inc = Stopwatch.totals(exclusive=False)
+        exc = Stopwatch.totals(exclusive=True)
+        assert inc["Outer/Stage/#ff0000"] >= 0.039
+        assert exc["Outer/Stage/#ff0000"] < inc["Outer/Stage/#ff0000"] - 0.015
+        p = str(tmp_path / "t_nyxustiming.csv")
+        Stopwatch.save_csv(p)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "h1,h2,h3,color,seconds,calls"
+        assert any("Outer,Inner" in ln and "#00ff00" in ln for ln in lines)
+        assert "no timing" not in Stopwatch.summary()
+    finally:
+        Stopwatch.enable(False)
+        Stopwatch.reset()
+
+
+def test_timing_in_pipeline():
+    from nyxus_tpu import Nyxus
+    from nyxus_tpu.timing import Stopwatch
+
+    Stopwatch.reset()
+    Stopwatch.enable()
+    try:
+        intens, labels = make_blobs(64, 64, 4, seed=9)
+        Nyxus(["MEAN", "PERIMETER", "NUM_NEIGHBORS"]).featurize(
+            intens, labels.astype(np.int32))
+        tot = Stopwatch.totals()
+        assert any(k.startswith("Pipeline/Phase1_discovery") for k in tot)
+        assert any(k.startswith("Pipeline/Phase2_device_batches") for k in tot)
+        assert any(k.startswith("Pipeline/Host/") for k in tot)
+    finally:
+        Stopwatch.enable(False)
+        Stopwatch.reset()
