@@ -32,7 +32,8 @@ _lock = threading.Lock()
 _lib = None
 _build_err = None
 
-_SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp")
+_SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp",
+            "contour.cpp")
 
 
 def _needs_build() -> bool:
@@ -99,6 +100,13 @@ def _load():
         lib.nyx_blosc_compress_lz4.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_contour.restype = ctypes.c_int
+        lib.nyx_contour.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_convex_hull.restype = ctypes.c_int
+        lib.nyx_convex_hull.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -256,3 +264,36 @@ def lz4_roundtrip_check(buf: bytes) -> bool:
     out = ctypes.create_string_buffer(len(buf))
     m = lib.nyx_lz4_decompress(comp, n, out, len(buf))
     return m == len(buf) and out.raw == buf
+
+
+def contour(mask, inten):
+    """Merged multicontour of one ROI crop as [K, 3] (x, y, inten) int64 in
+    +1-shifted local coordinates (native port of pipeline/contour.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    inten = np.ascontiguousarray(inten, np.int64)
+    h, w = mask.shape
+    cap = int(mask.sum()) + 16
+    out = np.empty((cap, 3), np.int64)
+    k = lib.nyx_contour(mask.ctypes.data_as(ctypes.c_void_p),
+                        inten.ctypes.data_as(ctypes.c_void_p), h, w,
+                        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if k < 0:
+        raise RuntimeError("contour buffer overflow")
+    return out[:k].copy()
+
+
+def convex_hull(xs, ys):
+    """Monotone-chain hull, reference vertex order; [K, 2] float64 (x, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    xs = np.ascontiguousarray(xs, np.int64)
+    ys = np.ascontiguousarray(ys, np.int64)
+    out = np.empty((len(xs) + 4, 2), np.float64)
+    k = lib.nyx_convex_hull(xs.ctypes.data_as(ctypes.c_void_p),
+                            ys.ctypes.data_as(ctypes.c_void_p), len(xs),
+                            out.ctypes.data_as(ctypes.c_void_p))
+    return out[:k].copy()

@@ -207,7 +207,17 @@ def build_multicontour(crop_mask: np.ndarray, crop_intens: np.ndarray):
 
 
 def merged_contour(crop_mask, crop_intens):
-    """Concatenated loops (LR::merge_multicontour, roi_cache.cpp:93-100)."""
+    """Concatenated loops (LR::merge_multicontour, roi_cache.cpp:93-100).
+    Native C++ fast path (native/src/contour.cpp); this module is the
+    fallback and parity oracle."""
+    from .. import native
+    if native.available():
+        return native.contour(crop_mask,
+                              np.asarray(crop_intens).astype(np.int64))
+    return merged_contour_py(crop_mask, crop_intens)
+
+
+def merged_contour_py(crop_mask, crop_intens):
     loops = build_multicontour(crop_mask, crop_intens)
     if not loops:
         return np.zeros((0, 3), np.int64)

@@ -19,7 +19,17 @@ import numpy as np
 
 def build_convex_hull(xs, ys):
     """Monotone-chain hull over pixel points, reference vertex order:
-    upper chain then lower-chain leftovers.  Returns [K, 2] array (x, y)."""
+    upper chain then lower-chain leftovers.  Returns [K, 2] array (x, y).
+    Native fast path (native/src/contour.cpp nyx_convex_hull); this Python
+    body is the fallback and parity oracle."""
+    from .. import native
+    if native.available():
+        return native.convex_hull(np.asarray(xs, np.int64),
+                                  np.asarray(ys, np.int64))
+    return build_convex_hull_py(xs, ys)
+
+
+def build_convex_hull_py(xs, ys):
     pts = np.stack([xs, ys], axis=1)
     if len(pts) < 2:
         return pts.astype(np.float64)

@@ -33,17 +33,58 @@ def _compute_dtype(cfg: EngineConfig):
     return jnp.float64 if cfg.precision == "f64" else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
-def _extract_bucket(intens, mask, area, vmin, vmax, y0, x0, heights, widths,
-                    slide_min, slide_max, families, cfg, static_meta=(),
-                    contour_xy=None, contour_valid=None):
-    """Run all requested feature families over one padded ROI batch."""
+# layout side-channel: populated at trace time (once per process per
+# signature); maps each (family, member) to its column span in the packed
+# output.  Keyed by the packed function's static signature.
+_BUCKET_LAYOUTS: dict = {}
+
+
+def _bucket_key(families, cfg, static_meta, shape, has_contour):
+    return (families, cfg, static_meta, shape, has_contour)
+
+
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
+                                             "layout_key"))
+def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
+                           widths, slide_min, slide_max, families, cfg,
+                           static_meta=(), contour_xy=None,
+                           contour_valid=None, layout_key=None):
+    """Run all requested feature families over one padded ROI batch.
+
+    Outputs are packed into ONE [B, total_width] device array so collection
+    costs a single device->host transfer (unpacked per-member dicts meant
+    one RPC per member array -- ~700 round-trips per slide on a tunneled
+    TPU)."""
     ctx = registry.BatchContext(intens, mask, area, vmin, vmax, y0, x0,
                                 slide_min, slide_max, cfg, static_meta,
                                 heights=heights, widths=widths,
                                 contour_xy=contour_xy,
                                 contour_valid=contour_valid)
-    return {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
+    out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
+    parts = []
+    layout = {}
+    off = 0
+    dt = intens.dtype
+    for fam in sorted(out):
+        for member in sorted(out[fam]):
+            arr = out[fam][member]
+            a2 = arr[:, None] if arr.ndim == 1 else arr
+            w = a2.shape[1]
+            layout[(fam, member)] = (off, w)
+            parts.append(a2.astype(dt))
+            off += w
+    _BUCKET_LAYOUTS[layout_key] = layout   # trace-time side channel
+    if not parts:   # all requested families are host-only
+        return jnp.zeros((intens.shape[0], 0), dt)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_bucket(packed: np.ndarray, layout) -> dict:
+    out: dict = {}
+    for (fam, member), (off, w) in layout.items():
+        arr = packed[:, off:off + w]
+        out.setdefault(fam, {})[member] = arr[:, 0] if w == 1 else arr
+    return out
 
 
 class HostContext:
@@ -239,6 +280,7 @@ class PairRunner:
 
         vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
              % (len(batches), len(triv_rows), len(over_rows)))
+        pending = []
         for shape, idxs in batches:
             sw_batch = stopwatch("Pipeline/Phase2_device_batches/#33cc77")
             sw_batch.__enter__()
@@ -286,14 +328,28 @@ class PairRunner:
                 c_xy = jnp.asarray(c_xy, dtype)
                 c_valid = jnp.asarray(c_valid)
 
-            out = _extract_bucket(ci, cm, area, vmin, vmax, y0, x0, hh, ww,
-                                  sl_min, sl_max, self.families, self.cfg,
-                                  static_meta, c_xy, c_valid)
-            out = jax.device_get(out)
-            self._scatter(values, idxs, out)
+            # dispatch only -- jax execution is async, so all bucket kernels
+            # overlap; results are fetched in one collection pass below
+            # (synchronous per-batch device_get would serialize a device
+            # round-trip per bucket shape)
+            lkey = _bucket_key(self.families, self.cfg, static_meta,
+                               (len(idxs),) + shape, c_xy is not None)
+            out = _extract_bucket_packed(ci, cm, area, vmin, vmax, y0, x0,
+                                         hh, ww, sl_min, sl_max,
+                                         self.families, self.cfg,
+                                         static_meta, c_xy, c_valid,
+                                         layout_key=lkey)
+            pending.append((idxs, lkey, out))
             crop_cache.clear()
             sw_batch.__exit__()
-            vlog(3, "\t\tbatch %dx%dx%d done" % (len(idxs), *shape))
+            vlog(3, "\t\tbatch %dx%dx%d dispatched" % (len(idxs), *shape))
+
+        with stopwatch("Pipeline/Phase2_collect/#33aa99"):
+            # one transfer per bucket (a single packed array each)
+            fetched = jax.device_get([out for _, _, out in pending])
+            for (idxs, lkey, _), packed in zip(pending, fetched):
+                self._scatter(values, idxs,
+                              _unpack_bucket(packed, _BUCKET_LAYOUTS[lkey]))
 
         # oversized ROIs: streamed sufficient-statistic pass per ROI
         # (reference phase 3, phase3.cpp:24-127)

@@ -604,15 +604,15 @@ def _fractal_perimeter_host(hc, cfg):
         cov = []
         s = clen // 4
         while s > 0:
-            perim = 0.0
-            nsteps = 0
-            j = 0
-            while j + s < clen:
-                perim += np.sqrt(((pts[j] - pts[j + s]) ** 2).sum())
-                nsteps += 1
-                j += s
-            perim += np.sqrt(((pts[j] - pts[0]) ** 2).sum())
-            nsteps += 1
+            # stride-s ruler walk, vectorized: j = 0, s, 2s, ... while
+            # j + s < clen, then close back to pts[0]
+            j_idx = np.arange(0, clen - s, s) if clen - s > 0 \
+                else np.zeros(0, np.int64)
+            seg = pts[j_idx + s] - pts[j_idx]
+            perim = float(np.sqrt((seg * seg).sum(1)).sum())
+            j_last = len(j_idx) * s
+            perim += float(np.sqrt(((pts[j_last] - pts[0]) ** 2).sum()))
+            nsteps = len(j_idx) + 1
             cov.append((perim / nsteps, perim))
             s //= 2
         vals[i] = 1.0 - _loglog_slope(cov)

@@ -105,3 +105,42 @@ def test_streamed_wholeslide(tmp_path):
     assert row.AREA_PIXELS_COUNT == 200 * 300
     assert row.MEAN == pytest.approx(intens.mean())
     assert row.MAX == intens.max() and row.MIN == intens.min()
+
+
+def test_native_contour_parity():
+    """Native Moore-trace port must match the Python oracle bit-for-bit."""
+    from conftest import make_blobs
+    from nyxus_tpu.pipeline import contour as cm
+
+    for seed in range(8):
+        intens, labels = make_blobs(80, 80, 5, seed=seed)
+        for lab in np.unique(labels)[1:]:
+            ys, xs = np.nonzero(labels == lab)
+            y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+            m = labels[y0:y1 + 1, x0:x1 + 1] == lab
+            ii = intens[y0:y1 + 1, x0:x1 + 1]
+            a = cm.merged_contour_py(m, ii)
+            b = native.contour(m, ii.astype(np.int64))
+            assert a.shape == b.shape and (a == b).all()
+    for m in (np.zeros((3, 3), bool), np.ones((1, 1), bool),
+              np.eye(5, dtype=bool)):
+        a = cm.merged_contour_py(m, np.ones(m.shape) * 7)
+        b = native.contour(m, (np.ones(m.shape) * 7).astype(np.int64))
+        assert a.shape == b.shape and (a == b).all()
+
+
+def test_native_hull_parity():
+    from conftest import make_blobs
+    from nyxus_tpu.pipeline.hostfeats import build_convex_hull_py
+
+    for seed in range(8):
+        _, labels = make_blobs(90, 90, 6, seed=seed)
+        for lab in np.unique(labels)[1:]:
+            ys, xs = np.nonzero(labels == lab)
+            a = build_convex_hull_py(xs, ys)
+            b = native.convex_hull(xs, ys)
+            assert a.shape == b.shape and np.array_equal(a, b)
+    for xs, ys in (([3], [4]), ([1, 1], [2, 9]), ([0, 1, 2], [0, 0, 0])):
+        a = build_convex_hull_py(np.array(xs), np.array(ys))
+        b = native.convex_hull(xs, ys)
+        assert a.shape == b.shape and np.array_equal(a, b)
