@@ -125,17 +125,28 @@ class Nyxus:
             self.verbosity = kwargs["verbose"]
         self.cfg = cfg.replace(**updates)
         self.error_message = ""
+        # scale-out knobs (net-new vs the reference; SURVEY §2.11):
+        # n_devices: shard ROI batches over a device mesh (-1 = all local
+        # devices); shard_slides: this process handles pairs[pid::pcount]
+        self._n_devices = kwargs.get("n_devices", 1)
+        self._shard_slides = bool(kwargs.get("shard_slides", False))
         from .blacklist import RoiBlacklist
         self._blacklist = RoiBlacklist()
         self._compile()
 
     # -- setup ------------------------------------------------------------
 
+    def _mesh(self):
+        if self._n_devices in (None, 0, 1):
+            return None
+        from .parallel import roi_mesh
+        return roi_mesh(None if self._n_devices == -1 else self._n_devices)
+
     def _compile(self):
         self.fset = tx.parse_feature_request(
             self.features, dim=2, ibsi=self.cfg.ibsi)
         self.header, _ = col.build_header(self.fset, self.cfg)
-        self._runner = PairRunner(self.fset, self.cfg)
+        self._runner = PairRunner(self.fset, self.cfg, mesh=self._mesh())
 
     # -- featurize (in-memory NumPy montage) ------------------------------
 
@@ -228,6 +239,11 @@ class Nyxus:
 
         int_files, lab_files, wholeslide = ds.read_2d_dataset(
             intensity_dir, label_dir, file_pattern)
+        if self._shard_slides:
+            from .parallel import process_shard
+            pairs = process_shard(list(zip(int_files, lab_files)))
+            int_files = [p[0] for p in pairs]
+            lab_files = [p[1] for p in pairs]
         frames = []
         for ipath, lpath in zip(int_files, lab_files):
             fname = os.path.basename(lpath or ipath)

@@ -139,11 +139,20 @@ def _crop_batch_device(padded_intens, padded_labels, recs, shape, dtype):
 
 
 class PairRunner:
-    """Extracts features for all ROIs of one (intensity, labels) pair."""
+    """Extracts features for all ROIs of one (intensity, labels) pair.
 
-    def __init__(self, fset: tx.FeatureSet, cfg: EngineConfig):
+    With ``mesh`` (a 1-D ``("roi",)`` jax.sharding.Mesh, see
+    nyxus_tpu.parallel.roi_mesh) every padded ROI batch is sharded over the
+    mesh's devices — the feature megakernel compiles SPMD and each device
+    extracts its slice of the batch (net-new vs the reference's per-thread
+    label ranges, parallel.h:36-40)."""
+
+    def __init__(self, fset: tx.FeatureSet, cfg: EngineConfig, mesh=None):
         self.fset = fset
         self.cfg = cfg
+        self.mesh = None
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            self.mesh = mesh
         self.families = registry.families_for(fset)
         self._device_needs_contour = any(
             registry.FAMILIES[f].needs_contour for f in self.families)
@@ -328,14 +337,25 @@ class PairRunner:
                 c_xy = jnp.asarray(c_xy, dtype)
                 c_valid = jnp.asarray(c_valid)
 
+            batch_args = (ci, cm, area, vmin, vmax, y0, x0, hh, ww,
+                          sl_min, sl_max)
+            if self.mesh is not None:
+                # shard the ROI axis over the device mesh; padded rows
+                # (copies of row 0) are dropped at collection time
+                from ..parallel import shard_batch
+                sharded, _ = shard_batch(self.mesh,
+                                         batch_args + (c_xy, c_valid))
+                batch_args = sharded[:11]
+                c_xy, c_valid = sharded[11], sharded[12]
+            bsz = int(batch_args[0].shape[0])
+
             # dispatch only -- jax execution is async, so all bucket kernels
             # overlap; results are fetched in one collection pass below
             # (synchronous per-batch device_get would serialize a device
             # round-trip per bucket shape)
             lkey = _bucket_key(self.families, self.cfg, static_meta,
-                               (len(idxs),) + shape, c_xy is not None)
-            out = _extract_bucket_packed(ci, cm, area, vmin, vmax, y0, x0,
-                                         hh, ww, sl_min, sl_max,
+                               (bsz,) + shape, c_xy is not None)
+            out = _extract_bucket_packed(*batch_args,
                                          self.families, self.cfg,
                                          static_meta, c_xy, c_valid,
                                          layout_key=lkey)
@@ -349,7 +369,8 @@ class PairRunner:
             fetched = jax.device_get([out for _, _, out in pending])
             for (idxs, lkey, _), packed in zip(pending, fetched):
                 self._scatter(values, idxs,
-                              _unpack_bucket(packed, _BUCKET_LAYOUTS[lkey]))
+                              _unpack_bucket(packed[:len(idxs)],
+                                             _BUCKET_LAYOUTS[lkey]))
 
         # oversized ROIs: streamed sufficient-statistic pass per ROI
         # (reference phase 3, phase3.cpp:24-127)
