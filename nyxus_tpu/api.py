@@ -142,6 +142,19 @@ class Nyxus:
         from .parallel import roi_mesh
         return roi_mesh(None if self._n_devices == -1 else self._n_devices)
 
+    def use_gpu_device(self, device_id: int):
+        """Reference-compat accelerator selector (reference: nyxus.py:509
+        use_gpu_device).  On this build the accelerator is whichever device
+        JAX exposes; device_id selects one local accelerator by index and
+        -1 means "default placement" (all numeric work already runs
+        device-side, so there is no CPU-offload mode to toggle)."""
+        from . import functions
+        devs = functions._accel_devices()
+        if device_id != -1 and not (0 <= device_id < len(devs)):
+            raise ValueError("device id %d out of range (%d accelerator(s))"
+                             % (device_id, len(devs)))
+        self._device_id = device_id
+
     def _compile(self):
         self.fset = tx.parse_feature_request(
             self.features, dim=2, ibsi=self.cfg.ibsi)
@@ -453,14 +466,19 @@ class Nyxus3D:
             self.verbosity = kwargs["verbose"]
         self.cfg = cfg.replace(**updates)
         self.error_message = ""
+        self._n_devices = kwargs.get("n_devices", 1)
+        self._shard_slides = bool(kwargs.get("shard_slides", False))
         self._compile()
+
+    _mesh = Nyxus._mesh
+    use_gpu_device = Nyxus.use_gpu_device
 
     def _compile(self):
         self.fset = tx.parse_feature_request(
             self.features, dim=3, ibsi=self.cfg.ibsi)
         self.header, _ = col.build_header(self.fset, self.cfg)
         from .pipeline.runner3d import VolumeRunner
-        self._runner = VolumeRunner(self.fset, self.cfg)
+        self._runner = VolumeRunner(self.fset, self.cfg, mesh=self._mesh())
 
     def featurize(self, intensity_volumes, label_volumes,
                   intensity_names: list = [], label_names: list = []):
@@ -516,7 +534,11 @@ class Nyxus3D:
         else:
             int_files, lab_files, _ = ds.read_3d_dataset(
                 intensity_dir, label_dir, file_pattern)
-            for ipath, lpath in zip(int_files, lab_files):
+            vol_pairs = list(zip(int_files, lab_files))
+            if self._shard_slides:
+                from .parallel import process_shard
+                vol_pairs = process_shard(vol_pairs)
+            for ipath, lpath in vol_pairs:
                 frames.append(self._featurize_volume_pair(ipath, lpath))
         df = pd.concat(frames, ignore_index=True) if frames else \
             _frame(self.header, "", "", np.zeros(0, np.int64),

@@ -226,11 +226,17 @@ def _extract3d(intens, mask, area, vmin, vmax, dd, hh, ww, families, cfg,
 
 
 class VolumeRunner:
-    """Featurizes one (intensity, labels) 3D volume pair."""
+    """Featurizes one (intensity, labels) 3D volume pair.
 
-    def __init__(self, fset: tx.FeatureSet, cfg: EngineConfig):
+    ``mesh``: optional 1-D ("roi",) device mesh; voxel ROI batches are
+    sharded over it exactly like the 2D runner's (see nyxus_tpu.parallel)."""
+
+    def __init__(self, fset: tx.FeatureSet, cfg: EngineConfig, mesh=None):
         self.fset = fset
         self.cfg = cfg
+        self.mesh = None
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            self.mesh = mesh
         self.families = tuple(
             n for n in FAMILIES3D
             if fset.any_enabled(tx.CLASS_FEATURES[n]))
@@ -293,7 +299,11 @@ class VolumeRunner:
             static_meta = ()
             if self.cfg.ibsi:
                 static_meta = (("max_int", int(max(r.vmax for r in brecs))),)
-            out = _extract3d(ci, cm, area, vmin, vmax, dd, hh, ww,
+            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww)
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+                batch_args, _ = shard_batch(self.mesh, batch_args)
+            out = _extract3d(*batch_args,
                              self.families, self.cfg, static_meta)
             out = jax.device_get(out)
             rows = np.asarray(idxs)
@@ -303,7 +313,7 @@ class VolumeRunner:
                     if code is None or code not in self.member_slots:
                         continue
                     off, width = self.member_slots[code]
-                    arr = np.asarray(arr, np.float64)
+                    arr = np.asarray(arr, np.float64)[:len(idxs)]
                     if arr.ndim == 1:
                         arr = arr[:, None]
                     w = min(width, arr.shape[1])

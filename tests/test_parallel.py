@@ -79,6 +79,22 @@ def test_shard_batch_pads_and_shards():
                                   np.tile(a[:1], (2, 1)))  # row-0 padding
 
 
+def test_mesh_parity_3d(blob_volume):
+    from nyxus_tpu.api import Nyxus3D
+    I, L = blob_volume
+    feats = ["*3D_ALL_INTENSITY*", "*3D_GLCM*"]
+    d1 = Nyxus3D(feats, precision="f64").featurize(I, L)
+    d8 = Nyxus3D(feats, precision="f64", n_devices=8).featurize(I, L)
+    np.testing.assert_allclose(_vals(d1), _vals(d8), rtol=1e-12, atol=1e-12)
+
+
+def test_use_gpu_device():
+    nyx = Nyxus(["MEAN"])
+    nyx.use_gpu_device(-1)          # default placement is always valid
+    with pytest.raises(ValueError):
+        nyx.use_gpu_device(10_000)
+
+
 def test_process_shard_single_process():
     items = list(range(7))
     assert par.process_shard(items) == items  # 1 process -> everything
