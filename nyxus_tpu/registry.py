@@ -169,7 +169,9 @@ def contour_needed(fset: tx.FeatureSet):
 
 
 def _intensity_family(ctx: BatchContext, cfg: EngineConfig):
-    nbins = cfg.coarse_gray_depth
+    # the SIGN of coarse_gray_depth selects the texture binning mode only;
+    # histogram bin counts always use the magnitude
+    nbins = abs(cfg.coarse_gray_depth)
     return ops_intensity.pixel_intensity_features(
         ctx.sorted_values, ctx.area, ctx.vmin, ctx.vmax,
         ctx.slide_max - ctx.slide_min, nbins, cfg.noval)
@@ -195,7 +197,7 @@ def _ih_family(ctx: BatchContext, cfg: EngineConfig):
     else:
         poffset = pscale = None
     return ops_ih.ih_features(ctx.sorted_values, ctx.area, ctx.vmin, ctx.vmax,
-                              cfg.coarse_gray_depth, cfg.noval,
+                              abs(cfg.coarse_gray_depth), cfg.noval,
                               pscale, poffset)
 
 
@@ -210,9 +212,7 @@ def _glcm_family(ctx: BatchContext, cfg: EngineConfig):
         symmetric = True
     else:
         greyinfo = cfg.texture_greydepth("glcm")
-        if greyinfo < 0:
-            raise NotImplementedError("radiomics grey binning lands later")
-        ng = greyinfo
+        ng = abs(greyinfo)
         symmetric = False
     levels = ctx.texture_levels(greyinfo)
     return ops_glcm.glcm_all(
@@ -230,9 +230,7 @@ def _glrlm_family(ctx: BatchContext, cfg: EngineConfig):
         ng = int(ctx.static_meta.get("max_int", 256))
     else:
         greyinfo = cfg.texture_greydepth("glrlm")
-        if greyinfo < 0:
-            raise NotImplementedError("radiomics grey binning lands later")
-        ng = greyinfo
+        ng = abs(greyinfo)
     levels = ctx.texture_levels(greyinfo)
     if greyinfo > 0:
         valid = ctx.aabb_mask        # MATLAB binning: background participates
@@ -257,13 +255,12 @@ def _texture_setup(ctx, cfg, family: str):
         ng = int(ctx.static_meta.get("max_int", 256))
     else:
         greyinfo = cfg.texture_greydepth(family)
-        if greyinfo < 0:
-            raise NotImplementedError("radiomics grey binning lands later")
-        ng = greyinfo
+        ng = abs(greyinfo)
     levels = ctx.texture_levels(greyinfo)
     if greyinfo > 0:
         valid = ctx.aabb_mask
     else:
+        # IBSI raw mode and radiomics mode both map background/zero to level 0
         valid = ctx.aabb_mask & (levels > 0)
     return greyinfo, ng, levels, valid
 
@@ -295,7 +292,7 @@ def _ngldm_family(ctx: BatchContext, cfg: EngineConfig):
         n_levels = 0
         nmax = int(ctx.static_meta.get("max_int", 256))
     else:
-        n_levels = cfg.coarse_gray_depth
+        n_levels = abs(cfg.coarse_gray_depth)
         nmax = n_levels  # to_grayscale yields 0..n
     return ops_ngldm.ngldm_features(
         ctx.intens, ctx.mask, ctx.vmin, ctx.vmax, n_levels, nmax,

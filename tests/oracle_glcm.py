@@ -18,12 +18,27 @@ def bin_matlab(x, vmax, n):
     return min(max(y, 1), n)
 
 
-def cooc(img, angle, offset, ng, n_levels, ibsi=False):
+def bin_radiomics(x, vmin, vmax, n):
+    """Radiomics binning (texture_feature.h:106-118): 1-based, x==0 -> 0,
+    last bin one unit wider."""
+    if x == 0:
+        return 0
+    binw = (vmax - vmin) / n
+    y = int(np.floor((x - vmin) / max(binw, 1e-30))) + 1
+    return min(y, n)
+
+
+def cooc(img, angle, offset, ng, n_levels, ibsi=False, radiomics=False):
     """img: 2D masked intensities (0 = background). Returns [ng, ng] counts,
     axis 0 = neighbor level-1, axis 1 = center level-1."""
     h, w = img.shape
     if ibsi:
         lev = img.astype(np.int64)
+    elif radiomics:
+        vals = img[img > 0]
+        vmin, vmax = vals.min(), vals.max()
+        lev = np.vectorize(
+            lambda v: bin_radiomics(v, vmin, vmax, n_levels))(img)
     else:
         lev = np.vectorize(lambda v: bin_matlab(v, img.max(), n_levels))(img)
     dx, dy = ANGLE_OFFSETS[angle]

@@ -93,3 +93,41 @@ def test_glcm_ibsi_phantom():
     # IBSI reference value: joint maximum of the phantom, delta=1, 0 deg,
     # symmetric: most frequent co-occurrence is (1,1)&(2,2) pairs
     assert 0 < row["GLCM_JMAX_0"] < 1
+
+
+def test_glcm_matches_oracle_radiomics_binning(blob_pair):
+    """Negative grey depth selects radiomics binning
+    (texture_feature.h:106-118); parity vs the numpy oracle."""
+    intens, labels = blob_pair
+    labs, values, colnames, cfg = run_glcm(intens, labels,
+                                           coarse_gray_depth=-32)
+    ng = 32
+    checked = 0
+    for i, lab in enumerate(labs):
+        ys, xs = np.nonzero(labels == lab)
+        crop = np.where(labels[ys.min():ys.max() + 1, xs.min():xs.max() + 1] == lab,
+                        intens[ys.min():ys.max() + 1, xs.min():xs.max() + 1], 0)
+        row = dict(zip(colnames, values[i]))
+        for ang in cfg.glcm_angles:
+            M = oracle.cooc(crop.astype(np.float64), ang, cfg.glcm_offset,
+                            ng, ng, radiomics=True)
+            ref = oracle.glcm_features(M, ng)
+            for m in oracle.ALL:
+                got = row["%s_%d" % (m, ang)]
+                assert got == pytest.approx(ref[m], rel=RTOL, abs=1e-10), (
+                    "%s angle %d lab %d" % (m, ang, lab))
+                checked += 1
+    assert checked > 1000
+
+
+def test_all_texture_families_accept_radiomics_binning(blob_pair):
+    """Every 2D texture family runs (finite, non-erroring) with a negative
+    grey depth."""
+    intens, labels = blob_pair
+    cfg = EngineConfig(precision="f64", coarse_gray_depth=-16)
+    fset = tx.parse_feature_request(
+        ["*ALL_GLCM*", "*ALL_GLRLM*", "*ALL_GLSZM*", "*ALL_GLDM*",
+         "*ALL_GLDZM*", "*ALL_NGLDM*", "*ALL_NGTDM*"], ibsi=False)
+    runner = PairRunner(fset, cfg)
+    labs, values = runner.run(intens, labels)
+    assert np.isfinite(values).all()
