@@ -23,6 +23,7 @@ _KWARG_MAP = {
     "coarse_gray_depth": "coarse_gray_depth",
     "n_feature_calc_threads": "n_feature_calc_threads",
     "ibsi": "ibsi",
+    "mergerois": "mergerois",
     "gabor_kersize": "gabor_kersize",
     "gabor_gamma": "gabor_gamma",
     "gabor_sig2lam": "gabor_sig2lam",

@@ -142,6 +142,7 @@ def main(argv=None):
         coarse_gray_depth=args.coarseGrayDepth,
         neighbor_distance=args.pixelDistance,
         ibsi=_truthy(args.ibsi),
+        mergerois=_truthy(args.mergerois),
         dynamic_range=args.fpimgdr,
         min_intensity=args.fpimgmin,
         max_intensity=args.fpimgmax,

@@ -24,6 +24,8 @@ class EngineConfig:
     glcm_angles: Tuple[int, ...] = (0, 45, 90, 135)
     glcm_offset: int = 1
     pixel_distance: int = 5        # neighbor distance (--pixelDistance)
+    mergerois: bool = False        # merge all nonzero labels into one ROI
+                                   # (--mergerois, environment.h:56-60)
 
     # per-family grey-depth overrides (metaparams, env_metaparams.cpp);
     # None -> inherit coarse_gray_depth

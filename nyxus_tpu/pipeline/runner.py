@@ -191,6 +191,8 @@ class PairRunner:
         (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
         unassigned values (reference: workflow_2d_segmented.cpp:116-121)."""
         from .sources import ArrayPairSource
+        if self.cfg.mergerois:
+            label_img = (label_img != 0).astype(np.int64)
         with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
             all_recs, smin, smax = labels.discover_rois(intens, label_img)
         source = ArrayPairSource(intens, label_img)
@@ -201,6 +203,9 @@ class PairRunner:
                      tile: int = 2048):
         """File-backed pair: tile-streamed discovery + per-batch region
         reads; the slide never fully materializes in host or device RAM."""
+        if self.cfg.mergerois:
+            from .sources import MergedLabelSource
+            source = MergedLabelSource(source)
         with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
             all_recs, smin, smax = labels.discover_rois_streamed(source, tile)
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,

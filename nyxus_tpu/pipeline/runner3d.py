@@ -251,6 +251,9 @@ class VolumeRunner:
             off += width
 
     def run(self, intens: np.ndarray, label_img: np.ndarray):
+        if self.cfg.mergerois:
+            # --mergerois: whole nonzero foreground is one ROI
+            label_img = (label_img != 0).astype(label_img.dtype)
         recs, smin, smax = discover_rois_3d(intens, label_img)
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, np.float64)

@@ -95,3 +95,27 @@ class WholeSlideTiffSource:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class MergedLabelSource:
+    """Adapter implementing --mergerois: every nonzero mask label reads as 1
+    (background 0 still excluded), so the whole foreground becomes one ROI
+    (reference: environment.h:56-60 mergeLabels, phase1.cpp:76,392,
+    phase2_2d.cpp:145,268,665)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.shape = inner.shape
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        ii, ll = self._inner.read_pair(y0, x0, h, w)
+        return ii, (ll != 0).astype(ll.dtype)
+
+    def close(self):
+        self._inner.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

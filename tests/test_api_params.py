@@ -103,3 +103,24 @@ def test_inmemory_arrow_output(tmp_path):
         t = rd.read_all()
     assert "MEAN" in t.column_names
     assert t.num_rows == 3
+
+
+def test_mergerois_single_foreground_roi():
+    """--mergerois collapses every nonzero label into one ROI
+    (reference: environment.h:56-60, phase1.cpp:76)."""
+    import numpy as np
+    from nyxus_tpu import Nyxus
+    intens = np.zeros((32, 32), np.uint16)
+    labels = np.zeros((32, 32), np.int32)
+    intens[2:10, 2:10] = 100; labels[2:10, 2:10] = 7
+    intens[20:30, 20:30] = 200; labels[20:30, 20:30] = 9
+    merged = Nyxus(["AREA_PIXELS_COUNT", "MEAN"], mergerois=True).featurize(
+        intens, labels)
+    assert len(merged) == 1
+    assert merged["ROI_label"][0] == 1
+    assert merged["AREA_PIXELS_COUNT"][0] == 8 * 8 + 10 * 10
+    want_mean = (100 * 64 + 200 * 100) / 164
+    assert merged["MEAN"][0] == pytest.approx(want_mean, rel=1e-6)  # f32 path
+    # without the flag: two ROIs
+    plain = Nyxus(["AREA_PIXELS_COUNT"]).featurize(intens, labels)
+    assert sorted(plain["ROI_label"]) == [7, 9]
