@@ -92,26 +92,43 @@ def main():
     platform = jax.devices()[0].platform
 
     # baseline: same pipeline on the multicore host CPU in a subprocess
-    # (jax can't switch platforms in-process after init)
+    # (jax can't switch platforms in-process after init).  The number is
+    # workload-determined (fixed synth slide + feature list), so it is
+    # cached on disk and re-measured only when the workload key changes.
     baseline_rps = None
     if platform != "cpu":
-        import subprocess
-        code = (
-            "import jax; jax.config.update('jax_platforms','cpu');"
-            "import bench, json;"
-            "i, l = bench.make_dsb_like();"
-            "n, rps = bench.bench_platform(i, l);"
-            "print('BASELINE', rps)"
-        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        cache_path = os.path.join(here, ".bench_cpu_baseline.json")
+        key = "1024x1024x300:" + ",".join(FEATURES)
         try:
-            out = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=3600, cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in out.stdout.splitlines():
-                if line.startswith("BASELINE"):
-                    baseline_rps = float(line.split()[1])
+            with open(cache_path) as f:
+                c = json.load(f)
+            if c.get("key") == key:
+                baseline_rps = c["rois_per_sec"]
         except Exception:
             pass
+        if baseline_rps is None:
+            import subprocess
+            code = (
+                "import jax; jax.config.update('jax_platforms','cpu');"
+                "import bench, json;"
+                "i, l = bench.make_dsb_like();"
+                "n, rps = bench.bench_platform(i, l);"
+                "print('BASELINE', rps)"
+            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True,
+                    text=True, timeout=3600, cwd=here)
+                for line in out.stdout.splitlines():
+                    if line.startswith("BASELINE"):
+                        baseline_rps = float(line.split()[1])
+                if baseline_rps:
+                    with open(cache_path, "w") as f:
+                        json.dump({"key": key,
+                                   "rois_per_sec": baseline_rps}, f)
+            except Exception:
+                pass
 
     vs = (tpu_rps / baseline_rps) if baseline_rps else 1.0
     print(json.dumps({

@@ -56,8 +56,9 @@ def build_parser():
     a("--tinyval", type=float, default=1e-10)
     a("--aggr", default="false",
       help="aggregate all ROIs of a slide into one output row (mean)")
-    a("--annot", default="false")
-    a("--annotsep", default=",")
+    a("--annot", default="false",
+      help="parse filename-stem annotation tokens into anno0..N columns")
+    a("--annotsep", default="_")
     a("--fpimgdr", type=float, default=1e4)
     a("--fpimgmin", type=float, default=0.0)
     a("--fpimgmax", type=float, default=1.0)

@@ -369,6 +369,36 @@ class PairRunner:
             sw_batch.__exit__()
             vlog(3, "\t\tbatch %dx%dx%d dispatched" % (len(idxs), *shape))
 
+        # host families split by dependency: families that never read
+        # device-computed members run HERE, overlapping the (async) device
+        # batches; the device-dependent remainder runs after collection
+        pre_host, post_host = registry.split_host_families(self.fset)
+        hc = None
+        if (pre_host or post_host) and triv_rows:
+            rows = np.asarray(triv_rows)
+
+            def get_feature(member):
+                code = tx.NAME2CODE_2D.get(member)
+                if code is None or code not in self.member_slots:
+                    return np.zeros(len(rows))
+                off, _ = self.member_slots[code]
+                return values[rows, off]
+
+            sub_contours = (None if contours is None else
+                            [contours[i] for i in triv_rows])
+            hc = HostContext([recs[i] for i in triv_rows], sub_contours,
+                             source, get_feature)
+
+        def run_host(names):
+            for name in names:
+                fam = registry.FAMILIES[name]
+                with stopwatch("Pipeline/Host/%s/#bbbbbb" % name):
+                    members = fam.host_fn(hc, self.cfg)
+                self._scatter(values, triv_rows, {name: members})
+
+        if hc is not None:
+            run_host(pre_host)
+
         with stopwatch("Pipeline/Phase2_collect/#33aa99"):
             # one transfer per bucket (a single packed array each)
             fetched = jax.device_get([out for _, _, out in pending])
@@ -387,30 +417,12 @@ class PairRunner:
                    for fam, mem in res.items()}
             self._scatter(values, [i], res)
 
-        # host families (contour statistics etc.); ordered so later families
-        # can read earlier results (hexagonality <- neighbors/feret/hull).
+        # device-dependent host families (circles, geodetic, neighbors,
+        # hexagonality read centroids/areas computed device-side).
         # Oversized ROIs are excluded (no contour/dense crop); their host
         # members stay unassigned.
-        host_fams = registry.host_families_for(self.fset)
-        if host_fams and triv_rows:
-            rows = np.asarray(triv_rows)
-
-            def get_feature(member):
-                code = tx.NAME2CODE_2D.get(member)
-                if code is None or code not in self.member_slots:
-                    return np.zeros(len(rows))
-                off, _ = self.member_slots[code]
-                return values[rows, off]
-
-            sub_contours = (None if contours is None else
-                            [contours[i] for i in triv_rows])
-            hc = HostContext([recs[i] for i in triv_rows], sub_contours,
-                             source, get_feature)
-            for name in host_fams:
-                fam = registry.FAMILIES[name]
-                with stopwatch("Pipeline/Host/%s/#bbbbbb" % name):
-                    members = fam.host_fn(hc, self.cfg)
-                self._scatter(values, triv_rows, {name: members})
+        if hc is not None:
+            run_host(post_host)
 
         if len(recs) != len(all_recs):
             # reinsert blacklisted rows with unassigned values

@@ -158,6 +158,54 @@ def host_families_for(fset: tx.FeatureSet):
                  if FAMILIES[n].host_fn is not None)
 
 
+def split_host_families(fset: tx.FeatureSet):
+    """(pre, post) host families.  ``pre`` families' declared deps avoid
+    (transitively) any device-computed member, so they can run on the host
+    WHILE the dispatched device batches execute; ``post`` families read
+    device results (centroids, areas) and must run after collection.
+    Relative order within each tuple preserves the registration order that
+    dependency chains rely on (hull <- contour, hexagonality <- neighbors)."""
+    act = tuple(activated_families(fset))
+    code2fam = {}
+    for n in act:
+        for c in FAMILIES[n].codes:
+            code2fam[c] = n
+    memo = {}
+
+    def reads_device(n):
+        if n in memo:
+            return memo[n]
+        memo[n] = False          # cycle guard
+        for m in FAMILIES[n].deps:
+            code = tx.NAME2CODE_2D.get(m)
+            p = code2fam.get(code)
+            if p is None:
+                continue
+            pf = FAMILIES[p]
+            if pf.fn is not None and (pf.host_fn is None
+                                      or m not in _HOST_PROVIDED.get(p, ())):
+                memo[n] = True
+                break
+            if pf.host_fn is not None and reads_device(p):
+                memo[n] = True
+                break
+        return memo[n]
+
+    host = [n for n in act if FAMILIES[n].host_fn is not None]
+    return (tuple(n for n in host if not reads_device(n)),
+            tuple(n for n in host if reads_device(n)))
+
+
+# members produced by the HOST half of mixed device+host families (so a dep
+# on these does not force post-collect ordering)
+_HOST_PROVIDED = {
+    "ContourFeature": ("PERIMETER", "PERIMETER_MM", "EDGE_MEAN_INTENSITY",
+                       "EDGE_MAX_INTENSITY", "EDGE_MIN_INTENSITY",
+                       "EDGE_STDDEV_INTENSITY", "EDGE_INTEGRATED_INTENSITY"),
+    "ConvexHullFeature": ("CONVEX_HULL_AREA", "SOLIDITY"),
+}
+
+
 def contour_needed(fset: tx.FeatureSet):
     return any(FAMILIES[n].needs_contour
                or (FAMILIES[n].host_fn is not None and FAMILIES[n].host_needs_contour)
