@@ -122,40 +122,84 @@ def _common_stats(data):
     mean = data.mean()
     stdev = math.sqrt(((data - mean) ** 2).sum() / len(data))
     imax, imin = int(math.ceil(mx)), int(math.floor(mn))
-    bins = np.zeros(imax - imin + 1, np.int64)
-    for v in data:
-        bins[int(v) - imin] += 1
-    # first strictly-greater scan (common_stats.cpp:29-33)
-    best, bi = 0, -1
-    for k, c in enumerate(bins):
-        if c > best:
-            best, bi = c, k
-    mode = bi + imin
+    # int(v) truncates toward zero == astype(int64) (diameters are >= 0)
+    bins = np.bincount(data.astype(np.int64) - imin,
+                       minlength=imax - imin + 1)
+    # first strictly-greater scan == argmax first-tie (common_stats.cpp:29-33)
+    mode = int(np.argmax(bins)) + imin
     s = np.sort(data)
     half = len(s) // 2
     median = s[half] if len(s) % 2 else (s[half] + s[half - 1]) / 2.0
     return dict(min=mn, max=mx, mean=mean, median=median, stdev=stdev, mode=mode)
 
 
-def _hull_width_at_y(poly, y):
-    n = len(poly)
-    have = False
-    xlo = xhi = 0.0
-    for i in range(n):
-        a, b = poly[i], poly[(i + 1) % n]
-        lo, hi = min(a[1], b[1]), max(a[1], b[1])
-        if y < lo or y > hi:
-            continue
-        if b[1] != a[1]:
-            x = a[0] + (b[0] - a[0]) * (y - a[1]) / (b[1] - a[1])
-            e0 = e1 = x
-        else:
-            e0, e1 = min(a[0], b[0]), max(a[0], b[0])
-        if not have:
-            xlo, xhi, have = e0, e1, True
-        else:
-            xlo, xhi = min(xlo, e0), max(xhi, e1)
-    return (xhi - xlo) if have else 0.0
+def _hull_widths_at_ys(poly, ys):
+    """Vectorized _hull_width_at_y over a batch of scanline ys.
+
+    For each y: the horizontal extent of the polygon boundary at that y —
+    min/max over edge crossings (same IEEE op order as the reference's
+    per-edge loop, caliper_martin.cpp)."""
+    a = poly                      # [K, 2]
+    b = np.roll(poly, -1, axis=0)
+    lo = np.minimum(a[:, 1], b[:, 1])   # [K]
+    hi = np.maximum(a[:, 1], b[:, 1])
+    y = np.asarray(ys, np.float64)[:, None]    # [G, 1]
+    valid = (y >= lo) & (y <= hi)              # [G, K]
+    horiz = b[:, 1] == a[:, 1]                 # [K]
+    denom = np.where(horiz, 1.0, b[:, 1] - a[:, 1])
+    with np.errstate(invalid="ignore", over="ignore"):
+        x = a[:, 0] + (b[:, 0] - a[:, 0]) * (y - a[:, 1]) / denom
+    e0 = np.where(horiz, np.minimum(a[:, 0], b[:, 0]), x)
+    e1 = np.where(horiz, np.maximum(a[:, 0], b[:, 0]), x)
+    xlo = np.where(valid, e0, np.inf).min(axis=1)
+    xhi = np.where(valid, e1, -np.inf).max(axis=1)
+    return np.where(valid.any(axis=1), xhi - xlo, 0.0)
+
+
+def _hull_heights_at_xs(poly, xs):
+    """Vertical extent at scanline x == width with axes swapped."""
+    return _hull_widths_at_ys(poly[:, ::-1], xs)
+
+
+def _hull_widths_at_ys_batch(polys, ys):
+    """_hull_widths_at_ys batched over rotated polygons.
+
+    polys: [A, K, 2] one polygon per angle; ys: [A, G] scanlines per angle.
+    Returns [A, G] widths.  Same IEEE op order as the scalar version."""
+    a = polys                                  # [A, K, 2]
+    b = np.roll(polys, -1, axis=1)
+    lo = np.minimum(a[:, :, 1], b[:, :, 1])[:, None, :]   # [A, 1, K]
+    hi = np.maximum(a[:, :, 1], b[:, :, 1])[:, None, :]
+    y = np.asarray(ys, np.float64)[:, :, None]            # [A, G, 1]
+    valid = (y >= lo) & (y <= hi)                          # [A, G, K]
+    horiz = (b[:, :, 1] == a[:, :, 1])[:, None, :]
+    denom = np.where(horiz, 1.0, (b[:, :, 1] - a[:, :, 1])[:, None, :])
+    a0 = a[:, None, :, 0]
+    b0 = b[:, None, :, 0]
+    a1 = a[:, None, :, 1]
+    with np.errstate(invalid="ignore", over="ignore"):
+        x = a0 + (b0 - a0) * (y - a1) / denom
+    e0 = np.where(horiz, np.minimum(a0, b0), x)
+    e1 = np.where(horiz, np.maximum(a0, b0), x)
+    xlo = np.where(valid, e0, np.inf).min(axis=2)
+    xhi = np.where(valid, e1, -np.inf).max(axis=2)
+    return np.where(valid.any(axis=2), xhi - xlo, 0.0)
+
+
+def _rotate_fp_batch(hull, thetas_deg):
+    """_rotate_fp over a batch of angles: returns [A, K, 2].
+
+    Matches _rotate_fp's float32 theta conversion and double trig."""
+    c = hull.mean(axis=0)
+    d = hull - c
+    th = (np.asarray(thetas_deg, np.float32) * np.float32(math.pi)
+          / np.float32(180.0)).astype(np.float64)
+    # math.sin/cos to stay bit-identical with the scalar _rotate_fp
+    s = np.array([math.sin(t) for t in th])[:, None]
+    co = np.array([math.cos(t) for t in th])[:, None]
+    rx = d[None, :, 0] * co - d[None, :, 1] * s + c[0]
+    ry = d[None, :, 0] * s + d[None, :, 1] * co + c[1]
+    return np.stack([rx, ry], axis=2)
 
 
 def caliper_feret(hc, cfg):
@@ -166,22 +210,18 @@ def caliper_feret(hc, cfg):
              "STAT_FERET_DIAM_MEDIAN", "STAT_FERET_DIAM_STDDEV",
              "STAT_FERET_DIAM_MODE")
     out = {k: np.full(n, nv) for k in names}
+    thetas = np.arange(0.0, 180.0 + 1e-9, 10.0)
     for i in range(n):
         hull = hc.hulls[i]
         if hull is None or len(hull) == 0:
             continue
-        angles, ferets = [], []
-        th = 0.0
-        while th <= 180.0:
-            rot = _rotate_fp(hull, th)
-            feret = rot[:, 0].max() - rot[:, 0].min()
-            if feret > 0:
-                angles.append(th)
-                ferets.append(feret)
-            th += 10.0
-        if not ferets:
+        rot = _rotate_fp_batch(hull, thetas)           # [A, K, 2]
+        all_ferets = rot[:, :, 0].max(axis=1) - rot[:, :, 0].min(axis=1)
+        pos = all_ferets > 0
+        if not pos.any():
             continue
-        ferets = np.asarray(ferets)
+        angles = thetas[pos]
+        ferets = all_ferets[pos]
         st = _common_stats(ferets)
         out["MIN_FERET_ANGLE"][i] = angles[int(np.argmin(ferets))]
         out["MAX_FERET_ANGLE"][i] = angles[int(np.argmax(ferets))]
@@ -201,28 +241,23 @@ def caliper_martin(hc, cfg):
         "STAT_MARTIN_DIAM_MEDIAN", "STAT_MARTIN_DIAM_STDDEV",
         "STAT_MARTIN_DIAM_MODE")}
     NGRID = 100
+    thetas = np.arange(0.0, 180.0 - 1e-9, 10.0)
     for i in range(n):
         hull = hc.hulls[i]
         if hull is None or len(hull) == 0:
             continue
-        D = []
-        th = 0.0
-        while th < 180.0:
-            rot = _rotate_fp(hull, th)
-            miny, maxy = rot[:, 1].min(), rot[:, 1].max()
-            th += 10.0
-            if maxy <= miny:
-                continue
-            stepy = (maxy - miny) / NGRID
-            yy = miny + (np.arange(NGRID) + 0.5) * stepy
-            widths = np.array([_hull_width_at_y(rot, y) for y in yy])
-            total = widths.sum()
-            if total <= 0:
-                continue
-            cum = np.cumsum(widths)
-            k = int(np.argmax(cum >= 0.5 * total))
-            D.append(widths[k])
-        if not D:
+        rots = _rotate_fp_batch(hull, thetas)          # [A, K, 2]
+        miny = rots[:, :, 1].min(axis=1)               # [A]
+        maxy = rots[:, :, 1].max(axis=1)
+        stepy = (maxy - miny) / NGRID
+        yy = miny[:, None] + (np.arange(NGRID) + 0.5) * stepy[:, None]
+        widths = _hull_widths_at_ys_batch(rots, yy)    # [A, G]
+        total = widths.sum(axis=1)
+        cum = np.cumsum(widths, axis=1)
+        k = np.argmax(cum >= 0.5 * total[:, None], axis=1)
+        ok = (maxy > miny) & (total > 0)
+        D = widths[np.arange(len(thetas)), k][ok]
+        if not len(D):
             continue
         st = _common_stats(np.asarray(D))
         out["STAT_MARTIN_DIAM_MIN"][i] = st["min"]
@@ -234,47 +269,25 @@ def caliper_martin(hc, cfg):
     return out
 
 
-def _hull_height_at_x(poly, x):
-    n = len(poly)
-    have = False
-    ylo = yhi = 0.0
-    for i in range(n):
-        a, b = poly[i], poly[(i + 1) % n]
-        lo, hi = min(a[0], b[0]), max(a[0], b[0])
-        if x < lo or x > hi:
-            continue
-        if b[0] != a[0]:
-            y = a[1] + (b[1] - a[1]) * (x - a[0]) / (b[0] - a[0])
-            e0 = e1 = y
-        else:
-            e0, e1 = min(a[1], b[1]), max(a[1], b[1])
-        if not have:
-            ylo, yhi, have = e0, e1, True
-        else:
-            ylo, yhi = min(ylo, e0), max(yhi, e1)
-    return (yhi - ylo) if have else 0.0
-
-
 def caliper_nassenstein(hc, cfg):
     n = len(hc.recs)
     out = {k: np.full(n, cfg.noval) for k in (
         "STAT_NASSENSTEIN_DIAM_MIN", "STAT_NASSENSTEIN_DIAM_MAX",
         "STAT_NASSENSTEIN_DIAM_MEAN", "STAT_NASSENSTEIN_DIAM_MEDIAN",
         "STAT_NASSENSTEIN_DIAM_STDDEV", "STAT_NASSENSTEIN_DIAM_MODE")}
+    thetas = np.arange(0.0, 180.0 - 1e-9, 10.0)
     for i in range(n):
         hull = hc.hulls[i]
         if hull is None or len(hull) < 3:
             continue
-        D = []
-        th = 0.0
-        while th < 180.0:
-            rot = _rotate_fp(hull, th)
-            th += 10.0
-            ymax = rot[:, 1].max()
-            sel = np.abs(rot[:, 1] - ymax) < 1e-3
-            xc = rot[sel, 0].sum() / max(sel.sum(), 1)
-            D.append(_hull_height_at_x(rot, xc))
-        if not D:
+        rots = _rotate_fp_batch(hull, thetas)          # [A, K, 2]
+        ymax = rots[:, :, 1].max(axis=1)
+        sel = np.abs(rots[:, :, 1] - ymax[:, None]) < 1e-3
+        # compacted per-angle sums keep the oracle's summation order
+        xc = np.array([rots[a][sel[a], 0].sum() / max(int(sel[a].sum()), 1)
+                       for a in range(len(thetas))])
+        D = _hull_widths_at_ys_batch(rots[:, :, ::-1], xc[:, None])[:, 0]
+        if not len(D):
             continue
         st = _common_stats(np.asarray(D))
         out["STAT_NASSENSTEIN_DIAM_MIN"][i] = st["min"]
@@ -289,7 +302,28 @@ def caliper_nassenstein(hc, cfg):
 # ---------------------------------------------------------------------------
 # chords (chords.cpp:?-120)
 
+def _chord_angles(n_angle_segments=20):
+    """The reference's accumulated-angle sweep (ang += pi/20 while < pi),
+    replicated with the same float accumulation for bit parity."""
+    ang_step = math.pi / n_angle_segments
+    angs = []
+    ang = 0.0
+    while ang < math.pi:
+        angs.append(ang)
+        ang += ang_step
+    return np.asarray(angs, np.float64)
+
+
 def chords(hc, cfg):
+    """Chord statistics over a 20-angle rotation sweep (chords.cpp).
+
+    Vectorized: instead of rasterizing every rotation and scanning columns
+    with an interpreted run-length loop, all (angle, pixel) rotations are
+    computed at once and per-column longest runs come from one lexsort +
+    segment-boundary pass.  Semantics (float32 rotation truncation, column
+    subsampling `step = wr // 100`, dedup via rasterization) are preserved
+    exactly; tests/test_chords_vec.py pins bit-parity against the loop
+    oracle."""
     n = len(hc.recs)
     names = ("MAXCHORDS_MAX", "MAXCHORDS_MAX_ANG", "MAXCHORDS_MIN",
              "MAXCHORDS_MIN_ANG", "MAXCHORDS_MEDIAN", "MAXCHORDS_MEAN",
@@ -298,52 +332,74 @@ def chords(hc, cfg):
              "ALLCHORDS_MEDIAN", "ALLCHORDS_MEAN", "ALLCHORDS_MODE",
              "ALLCHORDS_STDDEV")
     out = {k: np.full(n, -0.0) for k in names}
-    n_angle_segments, n_side_segments = 20, 100
-    ang_step = math.pi / n_angle_segments
+    n_side_segments = 100
+    angs = _chord_angles()
+    A = len(angs)
+    # math trig per angle for bit parity with the reference loop
+    sin_a = np.array([math.sin(a) for a in angs])[:, None]   # [A, 1]
+    cos_a = np.array([math.cos(a) for a in angs])[:, None]
+    aidx_row = np.arange(A)
     for i, r in enumerate(hc.recs):
         ys, xs = hc.roi_points(i)
+        if len(xs) == 0:
+            continue
         cenx = (r.x0 + r.x1) / 2.0
         ceny = (r.y0 + r.y1) / 2.0
-        gx = xs + r.x0
-        gy = ys + r.y0
-        AC, ACang, MC, MCang = [], [], [], []
-        ang = 0.0
-        while ang < math.pi:
-            s, c = math.sin(ang), math.cos(ang)
-            # rotate_cloud + Pixel2(float) truncation toward zero
-            xr = ((gx - cenx) * c - (gy - ceny) * s + cenx).astype(np.float32)
-            yr = ((gy - ceny) * c + (gx - cenx) * s + ceny).astype(np.float32)
-            xi = xr.astype(np.int64)
-            yi = yr.astype(np.int64)
-            x0r, y0r = xi.min(), yi.min()
-            wr = xi.max() - x0r + 1
-            hr = yi.max() - y0r + 1
-            img = np.zeros((hr, wr), bool)
-            img[yi - y0r, xi - x0r] = True
-            step = wr // n_side_segments if wr >= 2 * n_side_segments else 1
-            TC = []
-            for col in range(0, wr, step):
-                colv = img[:, col]
-                # longest contiguous run (get_chlen)
-                best = cur = 0
-                for v in colv:
-                    if v:
-                        cur += 1
-                        best = max(best, cur)
-                    else:
-                        cur = 0
-                if best > 0:
-                    TC.append(best)
-                    AC.append(best)
-                    ACang.append(ang)
-            if TC:
-                MC.append(max(TC))
-                MCang.append(ang)
-            ang += ang_step
-        if not MC:
+        gx = (xs + r.x0)[None, :]            # [1, P]
+        gy = (ys + r.y0)[None, :]
+        # rotate_cloud + Pixel2(float) truncation toward zero
+        xr = ((gx - cenx) * cos_a - (gy - ceny) * sin_a + cenx
+              ).astype(np.float32)
+        yr = ((gy - ceny) * cos_a + (gx - cenx) * sin_a + ceny
+              ).astype(np.float32)
+        xi = xr.astype(np.int64)             # [A, P]
+        yi = yr.astype(np.int64)
+        cx = xi - xi.min(axis=1, keepdims=True)
+        cy = yi - yi.min(axis=1, keepdims=True)
+        wr = cx.max(axis=1) + 1              # [A]
+        step = np.where(wr >= 2 * n_side_segments,
+                        wr // n_side_segments, 1)
+        # keep only pixels on sampled columns (col % step == 0)
+        keep = (cx % step[:, None]) == 0
+        a_k = np.broadcast_to(aidx_row[:, None], cx.shape)[keep]
+        x_k = cx[keep]
+        y_k = cy[keep]
+        order = np.lexsort((y_k, x_k, a_k))
+        a_s, x_s, y_s = a_k[order], x_k[order], y_k[order]
+        # dedup (several pixels can rotate onto one raster cell)
+        if len(a_s) > 1:
+            uniq = np.empty(len(a_s), bool)
+            uniq[0] = True
+            uniq[1:] = ((a_s[1:] != a_s[:-1]) | (x_s[1:] != x_s[:-1])
+                        | (y_s[1:] != y_s[:-1]))
+            a_s, x_s, y_s = a_s[uniq], x_s[uniq], y_s[uniq]
+        # vertical run boundaries within each (angle, column)
+        newrun = np.empty(len(a_s), bool)
+        newrun[0] = True
+        newrun[1:] = ((a_s[1:] != a_s[:-1]) | (x_s[1:] != x_s[:-1])
+                      | (y_s[1:] != y_s[:-1] + 1))
+        run_start = np.nonzero(newrun)[0]
+        run_len = np.diff(np.append(run_start, len(a_s)))
+        run_a, run_x = a_s[run_start], x_s[run_start]
+        # longest run per (angle, column) — columns in (angle, col) order,
+        # matching the reference's angle-outer / column-inner append order
+        newcol = np.empty(len(run_start), bool)
+        newcol[0] = True
+        newcol[1:] = (run_a[1:] != run_a[:-1]) | (run_x[1:] != run_x[:-1])
+        col_start = np.nonzero(newcol)[0]
+        AC = np.maximum.reduceat(run_len, col_start).astype(np.float64)
+        col_a = run_a[col_start]
+        ACang = angs[col_a]
+        # per-angle max of the column bests
+        newang = np.empty(len(col_start), bool)
+        newang[0] = True
+        newang[1:] = col_a[1:] != col_a[:-1]
+        ang_start = np.nonzero(newang)[0]
+        MC = np.maximum.reduceat(AC, ang_start)
+        MCang = angs[col_a[ang_start]]
+        if len(MC) == 0:
             continue
-        for pre, V, A in (("MAXCHORDS", MC, MCang), ("ALLCHORDS", AC, ACang)):
-            V = np.asarray(V, np.float64)
+        for pre, V, Aang in (("MAXCHORDS", MC, MCang), ("ALLCHORDS", AC, ACang)):
             mean = V.mean()
             std = math.sqrt(((V - mean) ** 2).sum() / (len(V) - 1)) if len(V) > 2 else 0.0
             sv = np.sort(V)
@@ -357,8 +413,8 @@ def chords(hc, cfg):
             out[pre + "_STDDEV"][i] = std
             out[pre + "_MEDIAN"][i] = median
             out[pre + "_MODE"][i] = mode
-            out[pre + "_MIN_ANG"][i] = A[int(np.argmin(V))]
-            out[pre + "_MAX_ANG"][i] = A[int(np.argmax(V))]
+            out[pre + "_MIN_ANG"][i] = Aang[int(np.argmin(V))]
+            out[pre + "_MAX_ANG"][i] = Aang[int(np.argmax(V))]
     return out
 
 
