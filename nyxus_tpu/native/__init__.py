@@ -100,6 +100,11 @@ def _load():
         lib.nyx_blosc_compress_lz4.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_contour_sqdist_approx.restype = None
+        lib.nyx_contour_sqdist_approx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.nyx_contour.restype = ctypes.c_int
         lib.nyx_contour.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -283,6 +288,62 @@ def contour(mask, inten):
     if k < 0:
         raise RuntimeError("contour buffer overflow")
     return out[:k].copy()
+
+
+def contour_sqdist_approx(px, py, cx, cy, want_min=True, want_max=False):
+    """Approximate min/max squared distance from points to an ORDERED contour
+    (semantic port of the reference's sampling search, pixel.cpp:36-143).
+    Returns (min_d2 | None, max_d2 | None) float64 arrays."""
+    px = np.ascontiguousarray(px, np.float64)
+    py = np.ascontiguousarray(py, np.float64)
+    cx = np.ascontiguousarray(cx, np.float64)
+    cy = np.ascontiguousarray(cy, np.float64)
+    n = len(px)
+    out_min = np.empty(n, np.float64) if want_min else None
+    out_max = np.empty(n, np.float64) if want_max else None
+    lib = _load()
+    if lib is not None:
+        lib.nyx_contour_sqdist_approx(
+            px.ctypes.data_as(ctypes.c_void_p),
+            py.ctypes.data_as(ctypes.c_void_p), n,
+            cx.ctypes.data_as(ctypes.c_void_p),
+            cy.ctypes.data_as(ctypes.c_void_p), len(cx),
+            out_min.ctypes.data_as(ctypes.c_void_p) if want_min else None,
+            out_max.ctypes.data_as(ctypes.c_void_p) if want_max else None)
+        return out_min, out_max
+    # pure-Python fallback (parity oracle; slow)
+    import math
+
+    def one(x, y, want_max_):
+        nc = len(cx)
+        if nc == 0:
+            return 0.0
+        d0 = (x - cx[0]) ** 2 + (y - cy[0]) ** 2
+        if nc == 1:
+            return d0
+        a, b = 0, nc
+        ext_d, ext_i = d0, 0
+        step = max(1, int((b - a) / math.log(b - a)))
+        while True:
+            i = a + step
+            while i < b:
+                d = (x - cx[i]) ** 2 + (y - cy[i]) ** 2
+                if (ext_d < d) if want_max_ else (ext_d > d):
+                    ext_d, ext_i = d, i
+                i += step
+            stepL = step if ext_i >= step else ext_i
+            stepR = step if ext_i + step < nc else nc - ext_i
+            a, b = ext_i - stepL, ext_i + stepR
+            step = 1 if b - a <= 10 else max(1, int((b - a) / math.log(b - a)))
+            if b - a <= 2:
+                return ext_d
+
+    for i in range(n):
+        if want_min:
+            out_min[i] = one(px[i], py[i], False)
+        if want_max:
+            out_max[i] = one(px[i], py[i], True)
+    return out_min, out_max
 
 
 def convex_hull(xs, ys):

@@ -313,3 +313,57 @@ extern "C" int nyx_convex_hull(const int64_t* xs, const int64_t* ys, int npts,
     }
     return k;
 }
+
+// ---------------------------------------------------------------------------
+// Approximate min/max squared distance from each point to an ORDERED contour.
+// Semantic port of the reference's coarse-to-fine sampling search
+// (reference: src/nyx/features/pixel.cpp:36-71 min_sqdist v2 and :110-143
+// max_sqdist v2).  The approximation is part of the numeric contract: the
+// weighted geometric moments, ROI radius and radial-distribution center all
+// consume these (possibly non-minimal) distances, so an exact scan would
+// diverge from the reference's outputs.
+
+static inline double approx_extreme_sqdist(double px, double py,
+                                           const double* cx, const double* cy,
+                                           long nc, bool want_max) {
+    auto sq = [&](long i) {
+        double dx = px - cx[i], dy = py - cy[i];
+        return dx * dx + dy * dy;
+    };
+    if (nc == 0) return 0.0;
+    long a = 0, b = nc;
+    double ext_d = sq(0);
+    long ext_i = 0;
+    if (nc == 1) return ext_d;
+    long step = (long)((double)(b - a) / std::log((double)(b - a)));
+    if (step < 1) step = 1;
+    do {
+        for (long i = a + step; i < b; i += step) {
+            double d = sq(i);
+            if (want_max ? (ext_d < d) : (ext_d > d)) {
+                ext_d = d;
+                ext_i = i;
+            }
+        }
+        long stepL = ext_i >= step ? step : ext_i;
+        long stepR = ext_i + step < nc ? step : nc - ext_i;
+        a = ext_i - stepL;
+        b = ext_i + stepR;
+        step = (b - a) <= 10 ? 1
+                             : (long)((double)(b - a) / std::log((double)(b - a)));
+        if (step < 1) step = 1;
+    } while (b - a > 2);
+    return ext_d;
+}
+
+extern "C" void nyx_contour_sqdist_approx(const double* px, const double* py,
+                                          long n, const double* cx,
+                                          const double* cy, long nc,
+                                          double* out_min, double* out_max) {
+    for (long i = 0; i < n; i++) {
+        if (out_min) out_min[i] = approx_extreme_sqdist(px[i], py[i], cx, cy,
+                                                        nc, false);
+        if (out_max) out_max[i] = approx_extreme_sqdist(px[i], py[i], cx, cy,
+                                                        nc, true);
+    }
+}

@@ -89,49 +89,3 @@ def last_true_value(cond, cand, default=0.0):
     last = (K - 1) - jnp.argmax(rev, axis=-1)
     picked = take_per_row(cand, last.astype(jnp.int32))
     return jnp.where(has, picked, default)
-
-
-def pix_contour_sqdist(B, H, W, contour_xy, contour_valid, dt,
-                       want_max=False):
-    """Min (and optionally max) squared distance from every AABB pixel to the
-    contour point set, as [B, H, W].
-
-    The [B, HW, C] contraction |p|^2 + |c|^2 - 2 p.c rides the MXU, but
-    materializing it whole is O(HW*C) memory -- a large holey ROI can have a
-    100k-point merged contour.  Scan over fixed-size pixel chunks instead
-    (static shapes; ~1 GB of f64 intermediate at most)."""
-    import jax
-
-    xs = jnp.arange(W, dtype=dt)
-    ys = jnp.arange(H, dtype=dt)
-    px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
-    HW = H * W
-    pix = jnp.broadcast_to(px[None], (B, HW, 2))
-    cxy = contour_xy.astype(dt)
-    C = cxy.shape[1]
-    c2 = jnp.sum(cxy * cxy, axis=-1)[:, None, :]
-    inval = ~contour_valid[:, None, :]
-
-    chunk = max(256, min(HW, (1 << 27) // max(1, B * C)))
-    n_chunks = -(-HW // chunk)
-    pad = n_chunks * chunk - HW
-    pixp = jnp.pad(pix, ((0, 0), (0, pad), (0, 0)))
-    pixp = pixp.reshape(B, n_chunks, chunk, 2).transpose(1, 0, 2, 3)
-
-    def one_chunk(pchunk):
-        p2 = jnp.sum(pchunk * pchunk, axis=-1)[:, :, None]
-        pc = jnp.einsum("bpk,bck->bpc", pchunk, cxy,
-                        preferred_element_type=dt)
-        d2 = p2 + c2 - 2 * pc
-        mn = jnp.min(jnp.where(inval, jnp.inf, d2), axis=-1)
-        if want_max:
-            return mn, jnp.max(jnp.where(inval, -jnp.inf, d2), axis=-1)
-        return mn, mn
-
-    mn, mx = jax.lax.map(one_chunk, pixp)       # [n, B, chunk] each
-
-    def unchunk(a):
-        return a.transpose(1, 0, 2).reshape(B, n_chunks * chunk)[:, :HW] \
-                .reshape(B, H, W)
-
-    return unchunk(mn), (unchunk(mx) if want_max else None)

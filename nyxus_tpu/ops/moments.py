@@ -46,12 +46,15 @@ def _power_sums(w, xs, ys, max_p=3):
     return S
 
 
-def moments_all(ctx, weights, prefix: str, contour_xy=None, contour_valid=None):
+def moments_all(ctx, weights, prefix: str, logw=None):
     """All moment outputs for one weighting mode.
 
     weights: [B, H, W] INTEN(value) * mask (intensity or ones).
-    contour_xy: [B, C, 2] local (+1-shifted) contour coordinates; needed for
-    the weighted (W*) members; if None they emit -0.0.
+    logw: [B, H, W] host-precomputed log(sqrt(approx_min_d2) + eps) factor
+    (0 outside the mask), using the reference's APPROXIMATE ordered-contour
+    distance search (pixel.cpp:36-71) -- exact distances diverge from the
+    reference's weighted moments.  If None the weighted (W*) members
+    emit -0.0.
     Returns {member_name: [B]}.
     """
     dt = weights.dtype
@@ -91,14 +94,8 @@ def moments_all(ctx, weights, prefix: str, contour_xy=None, contour_valid=None):
         out["%s_HU%d" % (prefix, i + 1)] = hu[i]
 
     # ---- weighted moments (distance-to-contour weighting)
-    if contour_xy is not None:
-        # min dist^2 from every pixel to the contour, chunk-scanned on the
-        # MXU (ops.common.pix_contour_sqdist)
-        from .common import pix_contour_sqdist
-        mind2, _ = pix_contour_sqdist(weights.shape[0], H, W, contour_xy,
-                                      contour_valid, dt)
-        mind = jnp.sqrt(mind2)
-        wweights = weights * jnp.log(mind + WEIGHTING_EPSILON)
+    if logw is not None:
+        wweights = weights * logw.astype(dt)
 
         WS = _power_sums(wweights, xs, ys)
         wm00 = WS[(0, 0)]

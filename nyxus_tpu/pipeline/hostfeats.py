@@ -662,3 +662,85 @@ def hexagonality_features(hc, cfg):
         out["HEXAGONALITY_AVE"][i] = 10 * (am + pm) / 2
         out["HEXAGONALITY_STDDEV"][i] = math.sqrt((asd * asd + psd * psd) / 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ROI radius + radial distribution (roi_radius.cpp, radial_distribution.cpp)
+#
+# Both consume the reference's APPROXIMATE coarse-to-fine min/max distance
+# search over the ordered contour (pixel.cpp:36-143) -- part of the numeric
+# contract; exact distances produce systematically different values.
+
+def _approx_contour_dists(hc, i, want_max=False):
+    from .. import native
+    K = hc.contours[i]
+    if K is None or K.shape[0] == 0:
+        return None, None, None, None
+    ys, xs = hc.roi_points(i)
+    mind2, maxd2 = native.contour_sqdist_approx(
+        xs.astype(np.float64), ys.astype(np.float64),
+        K[:, 0].astype(np.float64), K[:, 1].astype(np.float64),
+        want_min=True, want_max=want_max)
+    return ys, xs, mind2, maxd2
+
+
+def roi_radius(hc, cfg):
+    """ROI_RADIUS_{MEAN,MAX,MEDIAN} (roi_radius.cpp:11-37): statistics of the
+    per-pixel approximate min SQUARED distance to the merged contour; the
+    median is over uint-truncated values (TrivialHistogram, histogram.h:352)."""
+    n = len(hc.recs)
+    out = {k: np.zeros(n) for k in
+           ("ROI_RADIUS_MEAN", "ROI_RADIUS_MAX", "ROI_RADIUS_MEDIAN")}
+    for i in range(n):
+        _, _, mind2, _ = _approx_contour_dists(hc, i)
+        if mind2 is None or len(mind2) == 0:
+            continue
+        out["ROI_RADIUS_MEAN"][i] = mind2.mean()
+        out["ROI_RADIUS_MAX"][i] = mind2.max()
+        d = np.sort(mind2.astype(np.uint32))
+        h = len(d) // 2
+        out["ROI_RADIUS_MEDIAN"][i] = (float(d[h]) if len(d) % 2 else
+                                       (float(d[h]) + float(d[h - 1])) / 2.0)
+    return out
+
+
+def radial_distribution(hc, cfg):
+    """FRAC_AT_D / MEAN_FRAC / RADIAL_CV (radial_distribution.cpp:43-165).
+
+    Center = cloud pixel minimizing (approx max d2 - approx min d2) to the
+    contour; 8 radial bins scaled by sqrt(approx max d2 at the center);
+    8 angular wedges for the CV."""
+    n = len(hc.recs)
+    nb = 8
+    eps = 1e-9
+    out = {k: np.full((n, nb), -0.0) for k in
+           ("FRAC_AT_D", "MEAN_FRAC", "RADIAL_CV")}
+    for i in range(n):
+        ys, xs, mind2, maxd2 = _approx_contour_dists(hc, i, want_max=True)
+        if mind2 is None or len(mind2) == 0:
+            continue
+        ii, _ = hc.pair_crop(i)
+        inten = ii[ys, xs]
+        idxO = int(np.argmin(maxd2 - mind2))
+        cx, cy = int(xs[idxO]), int(ys[idxO])
+        dstOC = math.sqrt(maxd2[idxO])
+        dx = (xs - cx).astype(np.float64)
+        dy = (ys - cy).astype(np.float64)
+        dstOA = np.sqrt(dx * dx + dy * dy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rat = dstOA / dstOC if dstOC > 0 else np.zeros_like(dstOA)
+        bi = np.minimum((rat * (nb - 1)).astype(np.int64), nb - 1)
+        ang = np.arctan2(dy, dx)
+        ang = np.where(ang < 0, 2.0 * math.pi + ang, ang)
+        wbin = np.minimum((ang / (2.0 * math.pi / nb)).astype(np.int64),
+                          nb - 1)
+        counts = np.bincount(bi, minlength=nb).astype(np.float64)
+        intbins = np.bincount(bi, weights=inten, minlength=nb)
+        wedges = np.zeros((nb, nb))
+        np.add.at(wedges, (bi, wbin), inten)
+        out["FRAC_AT_D"][i] = counts / (len(xs) + eps)
+        out["MEAN_FRAC"][i] = intbins / (counts + eps)
+        wmean = wedges.sum(axis=1) / nb
+        wvar = ((wedges - wmean[:, None]) ** 2).sum(axis=1) / nb
+        out["RADIAL_CV"][i] = np.sqrt(wvar) / (wmean + eps)
+    return out

@@ -47,8 +47,7 @@ def _bucket_key(families, cfg, static_meta, shape, has_contour):
                                              "layout_key"))
 def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
                            widths, slide_min, slide_max, families, cfg,
-                           static_meta=(), contour_xy=None,
-                           contour_valid=None, layout_key=None):
+                           static_meta=(), logw=None, layout_key=None):
     """Run all requested feature families over one padded ROI batch.
 
     Outputs are packed into ONE [B, total_width] device array so collection
@@ -57,9 +56,7 @@ def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
     TPU)."""
     ctx = registry.BatchContext(intens, mask, area, vmin, vmax, y0, x0,
                                 slide_min, slide_max, cfg, static_meta,
-                                heights=heights, widths=widths,
-                                contour_xy=contour_xy,
-                                contour_valid=contour_valid)
+                                heights=heights, widths=widths, logw=logw)
     out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
     parts = []
     layout = {}
@@ -154,8 +151,8 @@ class PairRunner:
         if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
             self.mesh = mesh
         self.families = registry.families_for(fset)
-        self._device_needs_contour = any(
-            registry.FAMILIES[f].needs_contour for f in self.families)
+        self._needs_logw = any(
+            registry.FAMILIES[f].needs_logw for f in self.families)
 
         # internal feature set: user features + everything computed by the
         # dependency-closed family set (the reference computes whole dependent
@@ -328,19 +325,34 @@ class PairRunner:
                 static_meta = (
                     ("max_int", int(max(r.vmax for r in batch_recs))),)
 
-            c_xy = c_valid = None
-            if contours is not None and self._device_needs_contour:
-                cmax = max(max((contours[i].shape[0] for i in idxs),
-                               default=1), 1)
-                cmax = -(-cmax // 64) * 64  # pad to x64 to bound recompiles
-                c_xy = np.zeros((len(idxs), cmax, 2), np.float64)
-                c_valid = np.zeros((len(idxs), cmax), bool)
+            lw = None
+            if contours is not None and self._needs_logw:
+                # host-precomputed weighted-moment factor: log(sqrt(d2)+eps)
+                # with d2 the reference's APPROXIMATE min distance to the
+                # ordered contour (pixel.cpp:36-71; exact distances diverge)
+                from .. import native
+                from ..ops.moments import WEIGHTING_EPSILON
+                hb, wb = shape
+                np_dt = np.float32 if dtype == jnp.float32 else np.float64
+                lw_h = np.zeros((len(idxs), hb, wb), np_dt)
                 for bi, i in enumerate(idxs):
                     K = contours[i]
-                    c_xy[bi, :K.shape[0]] = K[:, :2]
-                    c_valid[bi, :K.shape[0]] = True
-                c_xy = jnp.asarray(c_xy, dtype)
-                c_valid = jnp.asarray(c_valid)
+                    if K is None or K.shape[0] == 0:
+                        continue
+                    r = recs[i]
+                    if resident is not None:
+                        sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
+                        cm_i = resident[1][sl] == r.label
+                    else:
+                        ii_c, ll_c = padded_crop(i, hb, wb)
+                        cm_i = ll_c[:r.height, :r.width] == r.label
+                    ys_i, xs_i = np.nonzero(cm_i)
+                    mind2, _ = native.contour_sqdist_approx(
+                        xs_i.astype(np.float64), ys_i.astype(np.float64),
+                        K[:, 0].astype(np.float64), K[:, 1].astype(np.float64))
+                    lw_h[bi, ys_i, xs_i] = np.log(np.sqrt(mind2)
+                                                  + WEIGHTING_EPSILON)
+                lw = jnp.asarray(lw_h)
 
             batch_args = (ci, cm, area, vmin, vmax, y0, x0, hh, ww,
                           sl_min, sl_max)
@@ -348,10 +360,9 @@ class PairRunner:
                 # shard the ROI axis over the device mesh; padded rows
                 # (copies of row 0) are dropped at collection time
                 from ..parallel import shard_batch
-                sharded, _ = shard_batch(self.mesh,
-                                         batch_args + (c_xy, c_valid))
+                sharded, _ = shard_batch(self.mesh, batch_args + (lw,))
                 batch_args = sharded[:11]
-                c_xy, c_valid = sharded[11], sharded[12]
+                lw = sharded[11]
             bsz = int(batch_args[0].shape[0])
 
             # dispatch only -- jax execution is async, so all bucket kernels
@@ -359,10 +370,10 @@ class PairRunner:
             # (synchronous per-batch device_get would serialize a device
             # round-trip per bucket shape)
             lkey = _bucket_key(self.families, self.cfg, static_meta,
-                               (bsz,) + shape, c_xy is not None)
+                               (bsz,) + shape, lw is not None)
             out = _extract_bucket_packed(*batch_args,
                                          self.families, self.cfg,
-                                         static_meta, c_xy, c_valid,
+                                         static_meta, lw,
                                          layout_key=lkey)
             pending.append((idxs, lkey, out))
             crop_cache.clear()

@@ -31,15 +31,13 @@ class BatchContext:
 
     def __init__(self, intens, mask, area, vmin, vmax, y0, x0,
                  slide_min, slide_max, cfg: EngineConfig, static_meta=(),
-                 heights=None, widths=None, contour_xy=None,
-                 contour_valid=None):
+                 heights=None, widths=None, logw=None):
         # static_meta: hashable (key, value) pairs of per-batch static scalars
         # (e.g. max integer intensity for IBSI level counts)
         self.static_meta = dict(static_meta)
         self.heights = heights        # [B] AABB height per ROI
         self.widths = widths          # [B] AABB width per ROI
-        self.contour_xy = contour_xy        # [B, C, 2] local +1-shifted coords
-        self.contour_valid = contour_valid  # [B, C] bool
+        self.logw = logw  # [B, H, W] log(sqrt(approx d2 to contour) + eps)
         self.intens = intens          # [B, H, W] compute dtype, raw crop
         self.mask = mask              # [B, H, W] bool
         self.area = area              # [B] int32
@@ -109,9 +107,10 @@ class Family:
     fn: typing.Callable = None         # device: (ctx, cfg) -> {member: array}
     domain: str = "2d"                 # member-name enum domain: 2d|3d|imq
     host_fn: typing.Callable = None    # host: (hostctx, cfg) -> {member: [N]}
-    needs_contour: bool = False        # device kernel consumes contour arrays
+    needs_contour: bool = False        # pipeline must build contours for it
     deps: typing.Tuple[str, ...] = ()  # dependency feature member names
     host_needs_contour: bool = True    # host fn reads hc.contours
+    needs_logw: bool = False           # device kernel consumes ctx.logw
 
     def member_code(self, member: str):
         table = {"2d": tx.F2D, "3d": tx.F3D, "imq": tx.FIMQ}[self.domain]
@@ -122,10 +121,11 @@ FAMILIES: dict = {}
 
 
 def register(name: str, fn=None, extra_codes=(), domain="2d", host_fn=None,
-             needs_contour=False, deps=(), host_needs_contour=True):
+             needs_contour=False, deps=(), host_needs_contour=True,
+             needs_logw=False):
     codes = tuple(tx.CLASS_FEATURES.get(name, ())) + tuple(extra_codes)
     FAMILIES[name] = Family(name, codes, fn, domain, host_fn, needs_contour,
-                            tuple(deps), host_needs_contour)
+                            tuple(deps), host_needs_contour, needs_logw)
     return fn
 
 
@@ -434,21 +434,21 @@ def _extrema_family(ctx, cfg):
 register("ExtremaFeature", _extrema_family)
 
 
-def _roi_radius_family(ctx, cfg):
-    from .ops import radial
-    return radial.roi_radius(ctx, cfg)
+def _hf(fn_name):
+    def fn(hc, cfg):
+        from .pipeline import hostfeats
+        return getattr(hostfeats, fn_name)(hc, cfg)
+    return fn
 
 
-register("RoiRadiusFeature", _roi_radius_family, needs_contour=True,
+# ROI radius and radial distribution consume the reference's APPROXIMATE
+# ordered-contour distance search (pixel.cpp:36-143) -- a sequential
+# coarse-to-fine sampling that is part of the numeric contract; they run as
+# host families over the native approx-distance kernel.
+register("RoiRadiusFeature", host_fn=_hf("roi_radius"),
          deps=("PERIMETER",))
 
-
-def _radial_family(ctx, cfg):
-    from .ops import radial
-    return radial.radial_distribution(ctx, cfg)
-
-
-register("RadialDistributionFeature", _radial_family, needs_contour=True,
+register("RadialDistributionFeature", host_fn=_hf("radial_distribution"),
          deps=("PERIMETER",))
 
 
@@ -469,8 +469,7 @@ def _moments_family(prefix):
             weights = ctx.masked_intens
         else:
             weights = ctx.mask.astype(ctx.intens.dtype)
-        out = moments.moments_all(ctx, weights, prefix,
-                                  ctx.contour_xy, ctx.contour_valid)
+        out = moments.moments_all(ctx, weights, prefix, ctx.logw)
         if prefix == "SMOM":
             renamed = {}
             for k, v in out.items():
@@ -488,9 +487,9 @@ def _moments_family(prefix):
 
 
 register("Imoms2D_feature", _moments_family("IMOM"), needs_contour=True,
-         deps=("PERIMETER",))
+         deps=("PERIMETER",), needs_logw=True)
 register("Smoms2D_feature", _moments_family("SMOM"), needs_contour=True,
-         deps=("PERIMETER",))
+         deps=("PERIMETER",), needs_logw=True)
 
 
 def _gabor_family(ctx, cfg):
@@ -543,13 +542,6 @@ def _contour_host(hc, cfg):
 
 
 register("ContourFeature", host_fn=_contour_host)
-
-
-def _hf(fn_name):
-    def fn(hc, cfg):
-        from .pipeline import hostfeats
-        return getattr(hostfeats, fn_name)(hc, cfg)
-    return fn
 
 
 register("ConvexHullFeature", host_fn=_hf("convex_hull_features"),

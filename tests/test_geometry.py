@@ -53,7 +53,11 @@ def test_extrema(geo):
 
 
 def test_roi_radius(geo):
+    """ROI radius uses the reference's APPROXIMATE ordered-contour distance
+    search (pixel.cpp:36-71), not the exact minimum; the oracle here is the
+    pure-Python port of that search, and exact distances bound it below."""
     from nyxus_tpu.pipeline import contour as cmod
+    from nyxus_tpu import native
     intens, labels, labs, values, cols = geo
     for i, lab in enumerate(labs[:4]):
         ys, xs = np.nonzero(labels == lab)
@@ -61,13 +65,16 @@ def test_roi_radius(geo):
         sl = (slice(y0, ys.max() + 1), slice(x0, xs.max() + 1))
         K = cmod.merged_contour(labels[sl] == lab, intens[sl])[:, :2].astype(float)
         pts = np.stack([xs - x0, ys - y0], 1).astype(float)
-        d2 = ((pts[:, None, :] - K[None]) ** 2).sum(-1).min(1)
+        d2, _ = native.contour_sqdist_approx(pts[:, 0], pts[:, 1],
+                                             K[:, 0], K[:, 1])
+        exact = ((pts[:, None, :] - K[None]) ** 2).sum(-1).min(1)
+        assert (d2 >= exact - 1e-12).all()   # approx never below exact min
         row = dict(zip(cols, values[i]))
         assert row["ROI_RADIUS_MEAN"] == pytest.approx(d2.mean(), rel=1e-9)
         assert row["ROI_RADIUS_MAX"] == pytest.approx(d2.max(), rel=1e-9)
-        t = np.sort(np.floor(d2))
+        t = np.sort(d2.astype(np.uint32))
         n = len(t)
-        med = t[n // 2] if n % 2 else (t[n // 2 - 1] + t[n // 2]) / 2
+        med = t[n // 2] if n % 2 else (float(t[n // 2 - 1]) + float(t[n // 2])) / 2
         assert row["ROI_RADIUS_MEDIAN"] == med
 
 

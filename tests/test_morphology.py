@@ -193,12 +193,14 @@ def test_moments_against_oracle(blob_pair):
             assert row[key(prefix, "HU2")] == pytest.approx(
                 (nu20 - nu02) ** 2 + 4 * nu11**2, rel=1e-7, abs=1e-12)
 
-        # weighted moments: distance to the (+1,+1)-shifted merged contour
+        # weighted moments: the reference's APPROXIMATE min distance to the
+        # (+1,+1)-shifted merged contour (pixel.cpp:36-71), not the exact one
+        from nyxus_tpu import native
         sl = (slice(y0, ys.max() + 1), slice(x0, xs.max() + 1))
         K = cmod.merged_contour(labels[sl] == lab, intens[sl])
         cpts = K[:, :2].astype(np.float64)
-        dists = np.sqrt(((np.stack([lx, ly], 1)[:, None, :] - cpts[None]) ** 2).sum(-1)).min(1)
-        wv = v * np.log(dists + 0.001)
+        d2, _ = native.contour_sqdist_approx(lx, ly, cpts[:, 0], cpts[:, 1])
+        wv = v * np.log(np.sqrt(d2) + 0.001)
         assert row["IMOM_WRM_00"] == pytest.approx(wv.sum(), rel=1e-8)
         wox = (wv * lx).sum() / wv.sum()
         woy = (wv * ly).sum() / wv.sum()
