@@ -23,8 +23,12 @@ import numpy as np
 
 
 def gabor_kernel(f0, sig2lam, gamma, theta, n: int):
-    """Complex Gabor kernel [n, n] (real, imag), magnitude-normalized."""
-    lam = 2 * math.pi / f0
+    """Complex Gabor kernel [n, n] (real, imag), magnitude-normalized.
+
+    f0 == 0 (possible under the reference's swapped pair unpacking, see
+    gabor_features) degenerates lambda/sigma to infinity: a flat unit
+    envelope with zero phase."""
+    lam = 2 * math.pi / f0 if f0 != 0 else math.inf
     sig = sig2lam * lam
     t = np.arange(n) - (n // 2 if n % 2 == 0 else (n - 1) // 2)
     txv = t[None, :].astype(np.float64)
@@ -33,7 +37,8 @@ def gabor_kernel(f0, sig2lam, gamma, theta, n: int):
     xte = txv * ct + tyv * st
     yte = tyv * ct - txv * st
     rte = xte * xte + gamma * gamma * yte * yte
-    ge = np.exp(-rte / (2 * sig * sig))
+    ge = (np.exp(-rte / (2 * sig * sig)) if math.isfinite(sig)
+          else np.ones_like(rte))
     argm = xte * f0
     kr = ge * np.cos(argm)
     ki = ge * np.sin(argm)
@@ -80,9 +85,15 @@ def gabor_features(intens_masked, aabb_mask, vmin, vmax, cfg, dtype):
                        axis=(1, 2))
 
     outs = []
-    for f0, theta_deg in zip(cfg.gabor_freqs, cfg.gabor_thetas):
-        kr, ki = gabor_kernel(f0, cfg.gabor_sig2lam, cfg.gabor_gamma,
-                              math.radians(theta_deg), n)
+    # Faithful quirk: the reference stores (theta, f0) pairs but unpacks
+    # them as ``f0 = pair.first; theta = pair.second`` (gabor.cpp:19-25,
+    # 107-111), so the ANGLE (radians) acts as the frequency and the
+    # FREQUENCY acts as the rotation angle.  Filter 0 (theta=0) is thus a
+    # zero-frequency flat-envelope filter.  Verified against the reference
+    # binary output on the bench corpus.
+    for theta_deg, freq in zip(cfg.gabor_thetas, cfg.gabor_freqs):
+        kr, ki = gabor_kernel(math.radians(theta_deg), cfg.gabor_sig2lam,
+                              cfg.gabor_gamma, float(freq), n)
         mag = _gabor_magnitude(img, kr, ki, n)
         hit = in_aabb & (mag / jnp.maximum(maxval[:, None, None], 1e-30)
                          > cfg.gabor_thold)

@@ -72,7 +72,9 @@ def gldzm_features(levels, valid, heights, widths, roi_area, vmin, vmax,
     Returns dict member -> [B]."""
     B, H, W = levels.shape
     A = H * W
-    anc = zones.zone_labels(levels, valid)
+    # GLDZM zones are FULL 4-connected components (E/S/W/N DFS,
+    # gldzm.cpp:121-210), unlike GLSZM's forward E/SE/S/SW scan
+    anc = zones.zone_labels_cc4(levels, valid)
     seed, _ = zones.zone_seeds_and_sizes(anc, valid)
 
     dist = border_distance(levels, heights, widths)

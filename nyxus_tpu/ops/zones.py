@@ -82,6 +82,61 @@ def zone_labels(lev, valid):
     return jnp.where(valid, anc, BIG)
 
 
+def zone_labels_cc4(lev, valid):
+    """Min-raster-index labels of FULL 4-connected components.
+
+    GLDZM's zone DFS explores E, S, W and N moves with backtracking
+    (gldzm.cpp:121-210) -- a complete 4-connected flood fill, unlike GLSZM's
+    forward E/SE/S/SW scan -- so a GLDZM zone is the standard 4-connected
+    same-level component, labeled by its first pixel in raster order.
+
+    Computed by min-label relaxation: vertical pulls from N and S plus
+    segmented prefix-min sweeps in both horizontal directions, iterated to
+    fixpoint."""
+    B, H, W = lev.shape
+    BIG = jnp.int32(H * W)
+    ridx = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+            + jnp.arange(W, dtype=jnp.int32)[None, :])
+    ridx = jnp.broadcast_to(ridx[None], (B, H, W))
+    anc0 = jnp.where(valid, ridx, BIG)
+
+    same_w = valid & shifted2d(valid, -1, 0, fill=False) & \
+        (lev == shifted2d(lev, -1, 0))
+    same_e = valid & shifted2d(valid, 1, 0, fill=False) & \
+        (lev == shifted2d(lev, 1, 0))
+
+    def seg_min(a, conn, reverse):
+        def op(l, r):
+            lv, lc = l
+            rv, rc = r
+            v = jnp.where(rc, jnp.minimum(lv, rv), rv)
+            return (v, lc & rc)
+        v, _ = lax.associative_scan(op, (a, conn), axis=2, reverse=reverse)
+        return v
+
+    def step(anc):
+        for dx, dy in ((0, -1), (0, 1)):        # N and S pulls
+            n_anc = shifted2d(anc, dx, dy, fill=BIG)
+            n_val = shifted2d(valid, dx, dy, fill=False)
+            n_lev = shifted2d(lev, dx, dy)
+            ok = valid & n_val & (n_lev == lev)
+            anc = jnp.where(ok, jnp.minimum(anc, n_anc), anc)
+        anc = seg_min(anc, same_w, reverse=False)   # W chains (left-to-right)
+        return seg_min(anc, same_e, reverse=True)   # E chains (right-to-left)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        anc, _ = state
+        new = step(anc)
+        return new, jnp.any(new != anc)
+
+    anc, _ = lax.while_loop(cond, body, (step(anc0), jnp.bool_(True)))
+    return jnp.where(valid, anc, BIG)
+
+
 def zone_seeds_and_sizes(anc, valid):
     """(seed mask, zone size at seed) from zone labels.
 

@@ -495,15 +495,20 @@ def circle_features(hc, cfg):
 # geodetic length & thickness (geo_len_thickness.cpp)
 
 def geodetic_features(hc, cfg):
+    """GEODETIC_LENGTH / THICKNESS (geo_len_thickness.cpp:18-34).
+
+    Faithful quirk: the reference reads the perimeter into a size_t, so the
+    pq-formula runs on the TRUNCATED integer perimeter with INTEGER division
+    (p/4, p*p/16, p/2)."""
     n = len(hc.recs)
     perim = hc.get_feature("PERIMETER")
     gl = np.zeros(n)
     th = np.zeros(n)
     for i, r in enumerate(hc.recs):
-        p = perim[i]
-        sq = max(p * p / 16 - r.area, 0.0)
-        gl[i] = p / 4 + math.sqrt(sq)
-        th[i] = p / 2 - gl[i]
+        p = int(perim[i])
+        sq = max(p * p // 16 - float(r.area), 0.0)
+        gl[i] = p // 4 + math.sqrt(sq)
+        th[i] = p // 2 - gl[i]
     return {"GEODETIC_LENGTH": gl, "THICKNESS": th}
 
 

@@ -14,12 +14,14 @@ def bin_matlab_img(img, n):
     return out
 
 
-def scan_zones(lev, valid):
-    """Returns list of (level, [pixels]) zones via the directed DFS."""
+def scan_zones(lev, valid, moves=None):
+    """Returns list of (level, [pixels]) zones via the directed DFS.
+    Default moves: GLSZM's E/SE/S/SW; GLDZM passes the 4-connected set."""
     h, w = lev.shape
     visited = np.zeros_like(lev, dtype=bool)
     zones = []
-    moves = [(0, 1), (1, 1), (1, 0), (1, -1)]  # E, SE, S, SW as (dy, dx)
+    if moves is None:
+        moves = [(0, 1), (1, 1), (1, 0), (1, -1)]  # E, SE, S, SW as (dy, dx)
     for r in range(h):
         for c in range(w):
             if not valid[r, c] or visited[r, c]:
@@ -117,7 +119,9 @@ def gldzm_features(crop, roi_area, n_levels):
     if crop.max() == crop.min():
         return None
     lev = bin_matlab_img(crop.astype(np.float64), n_levels)
-    zones = scan_zones(lev, np.ones_like(lev, bool))
+    # GLDZM zones: FULL 4-connected flood fill (E/S/W/N, gldzm.cpp:121-210)
+    zones = scan_zones(lev, np.ones_like(lev, bool),
+                       moves=[(0, 1), (1, 0), (0, -1), (-1, 0)])
     levels = np.array([z[0] for z in zones], np.float64)
     dists = np.array([min(dist2border(lev, y, x) for y, x in z[1])
                       for z in zones], np.float64)

@@ -39,8 +39,10 @@ def gabor_oracle(crop, cfg):
     maxval, cmpval = base.max(), base.min()
     baseline = (base > cmpval).sum()
     out = []
-    for f0, th in zip(cfg.gabor_freqs, cfg.gabor_thetas):
-        e = energy(f0, math.radians(th))
+    # reference swap quirk: angle (radians) acts as f0, frequency as theta
+    # (gabor.cpp:19-25,107-111; see ops/gabor.py)
+    for th, freq in zip(cfg.gabor_thetas, cfg.gabor_freqs):
+        e = energy(math.radians(th), float(freq))
         out.append((e / maxval > cfg.gabor_thold).sum() / baseline)
     return out
 

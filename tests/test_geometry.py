@@ -127,15 +127,17 @@ def test_circles_disk():
 
 
 def test_geodetic(geo):
+    """Reference quirk: the pq-formula runs on the int-truncated perimeter
+    with integer division (geo_len_thickness.cpp:18-34)."""
     intens, labels, labs, values, cols = geo
     for i in range(len(labs)):
         row = dict(zip(cols, values[i]))
-        p = row["PERIMETER"]
+        p = int(row["PERIMETER"])
         a = row["AREA_PIXELS_COUNT"]
-        sq = max(p * p / 16 - a, 0)
-        gl = p / 4 + math.sqrt(sq)
+        sq = max(p * p // 16 - a, 0)
+        gl = p // 4 + math.sqrt(sq)
         assert row["GEODETIC_LENGTH"] == pytest.approx(gl, rel=1e-9)
-        assert row["THICKNESS"] == pytest.approx(p / 2 - gl, rel=1e-9, abs=1e-9)
+        assert row["THICKNESS"] == pytest.approx(p // 2 - gl, rel=1e-9, abs=1e-9)
 
 
 def test_neighbors_two_squares():
