@@ -89,3 +89,32 @@ def last_true_value(cond, cand, default=0.0):
     last = (K - 1) - jnp.argmax(rev, axis=-1)
     picked = take_per_row(cand, last.astype(jnp.int32))
     return jnp.where(has, picked, default)
+
+
+def fast_log2(x):
+    """The reference's fast_log10 approximation, as log2 (helpers.h:283-327).
+
+    A float32 quadratic fit of log2 on the reduced significand — every
+    texture-family entropy in the reference (GLCM/GLRLM/GLSZM/GLDM, 2D and
+    3D) flows through it, with ~1e-3 relative error vs an exact log.  Exact
+    logs therefore DIVERGE from the reference's outputs; this mirrors the
+    bit-level algorithm (the reference scales to log10 and divides back by
+    the same constant, a no-op up to 1-ulp rounding)."""
+    import jax.lax as _lax
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    ui = _lax.bitcast_convert_type(xf, jnp.uint32)
+    exp = ((ui >> 23) & jnp.uint32(0xFF)).astype(jnp.float32)
+    frac = ui & jnp.uint32(0x007FFFFF)
+    greater = (ui & jnp.uint32(0x00400000)) != 0
+    sig_g = _lax.bitcast_convert_type(frac | jnp.uint32(0x3f000000),
+                                      jnp.float32)
+    sig_l = _lax.bitcast_convert_type(frac | jnp.uint32(0x3f800000),
+                                      jnp.float32)
+    fexp = jnp.where(greater, exp - jnp.float32(126.0),
+                     exp - jnp.float32(127.0))
+    signif = jnp.where(greater, sig_g, sig_l) - jnp.float32(1.0)
+    a = jnp.float32(-0.6296735)
+    b = jnp.float32(1.466967)
+    lg2 = fexp + a * signif * signif + b * signif
+    return lg2.astype(dt)

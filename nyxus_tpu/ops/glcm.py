@@ -15,7 +15,9 @@ Implements the reference's GLCMFeature semantics
   neighbor-axis marginal mean and drives CLUPROM/CLUSHADE/CLUTEND for both
   mu_x and mu_y (glcm.cpp:516-538, 986-1040); JVAR deviates by matrix INDEX
   while JAVE is level-valued (glcm.cpp:1146-1195)
-* entropies use log2(p + 1e-9) (EPSILON, glcm.h:262); we use an exact log2
+* entropies use fast_log10(p + 1e-9)/LOG10_2 -- the reference's float32
+  quadratic log approximation (helpers.h:283-327), mirrored by
+  ops.common.fast_log2; an exact log diverges ~1e-3
   where the reference uses a float32 polynomial approximation (~1e-3 rel) --
   our values are closer to the mathematical definition and well inside the
   reference's own oracle tolerances
@@ -53,7 +55,7 @@ MEMBERS = [
 AVE_MEMBERS = [m for m in MEMBERS if m != "GLCM_HOM2"]
 
 
-from .common import shifted2d as _shifted
+from .common import shifted2d as _shifted, fast_log2
 
 
 def cooc_matrices(orig, levels, angles, offset: int, ng: int, symmetric: bool):
@@ -148,21 +150,21 @@ def glcm_features_from_matrix(M, ng: int, noval: float):
 
     out["GLCM_IDM"] = jnp.sum(pxmy / (1 + k * k), axis=-1)
     out["GLCM_SUMAVERAGE"] = jnp.sum(pxpy * s2, axis=-1)
-    out["GLCM_SUMENTROPY"] = -jnp.sum(pxpy * jnp.log2(pxpy + EPS), axis=-1)
-    out["GLCM_ENTROPY"] = -jnp.sum(p * jnp.log2(p + EPS), axis=(-1, -2))
+    out["GLCM_SUMENTROPY"] = -jnp.sum(pxpy * fast_log2(pxpy + EPS), axis=-1)
+    out["GLCM_ENTROPY"] = -jnp.sum(p * fast_log2(p + EPS), axis=(-1, -2))
 
     difavg = jnp.sum(pxmy * k, axis=-1)
     out["GLCM_DIFAVE"] = difavg
     out["GLCM_DIFVAR"] = jnp.sum((k - difavg[..., None]) ** 2 * pxmy, axis=-1)
-    out["GLCM_DIFENTRO"] = -jnp.sum(pxmy * jnp.log2(pxmy + EPS), axis=-1)
+    out["GLCM_DIFENTRO"] = -jnp.sum(pxmy * fast_log2(pxmy + EPS), axis=-1)
 
     # information measures (glcm.cpp:795-915); all "entropies" carry the
     # reference's sign convention (not negated)
-    hxy = jnp.sum(p * jnp.log2(p + EPS), axis=(-1, -2))
+    hxy = jnp.sum(p * fast_log2(p + EPS), axis=(-1, -2))
     pxpyij = px_n[..., :, None] * px_c[..., None, :]
-    hxy1 = jnp.sum(p * jnp.log2(pxpyij + EPS), axis=(-1, -2))
-    hxy2 = jnp.sum(pxpyij * jnp.log2(pxpyij + EPS), axis=(-1, -2))
-    hx = jnp.sum(px_n * jnp.log2(px_n + EPS), axis=-1)
+    hxy1 = jnp.sum(p * fast_log2(pxpyij + EPS), axis=(-1, -2))
+    hxy2 = jnp.sum(pxpyij * fast_log2(pxpyij + EPS), axis=(-1, -2))
+    hx = jnp.sum(px_n * fast_log2(px_n + EPS), axis=-1)
     im1 = (hxy - hxy1) / hx
     out["GLCM_INFOMEAS1"] = jnp.where(jnp.isfinite(im1), im1, jnp.asarray(noval, dt))
     out["GLCM_INFOMEAS2"] = jnp.sqrt(jnp.abs(1.0 - jnp.exp(-2.0 * (hxy - hxy2))))

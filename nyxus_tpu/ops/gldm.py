@@ -13,9 +13,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .common import NEIGHBORS8, shifted2d
+from .common import NEIGHBORS8, shifted2d, fast_log2
 
-EPS = 1e-9
+EPS = 2.2e-16  # reference: glrlm.h:169 / glszm.h:138 / gldm.h:105
 ND = 9  # dependencies 1..9
 
 MEMBERS = [
@@ -67,7 +67,7 @@ def gldm_features(P, vmin, vmax, noval: float):
     mud = jnp.sum(sj * jval, axis=1) / s
     out["GLDM_DV"] = jnp.sum(sj * (jval - mud[:, None]) ** 2, axis=1) / s
     p = P / s[:, None, None]
-    out["GLDM_DE"] = -jnp.sum(p * jnp.log2(p + EPS), axis=(1, 2))
+    out["GLDM_DE"] = -jnp.sum(p * fast_log2(p + EPS), axis=(1, 2))
     i2 = ival * ival
     j2 = jval * jval
     out["GLDM_LGLE"] = jnp.sum(si / i2, axis=1) / s

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from . import zones
 from .common import shifted2d
 
-EPS = 1e-9
+EPS = 2.2e-16  # gldzm.h:68
 
 MEMBERS = [
     "GLDZM_SDE", "GLDZM_LDE", "GLDZM_LGLZE", "GLDZM_HGLZE", "GLDZM_SDLGLE",

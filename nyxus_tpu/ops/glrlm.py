@@ -23,10 +23,12 @@ directions are handled by shearing rows so diagonals become columns.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from .common import fast_log2
 import jax.lax as lax
 import numpy as np
 
-EPS = 1e-9
+EPS = 2.2e-16  # reference: glrlm.h:169 / glszm.h:138 / gldm.h:105
 
 MEMBERS = [
     "GLRLM_SRE", "GLRLM_LRE", "GLRLM_GLN", "GLRLM_GLNN", "GLRLM_RLN",
@@ -134,7 +136,7 @@ def glrlm_features(P, n_pixels, vmin, vmax, noval: float, dtype):
     out["GLRLM_RV"] = jnp.sum(rj * (jval - mu_r[..., None]) ** 2, axis=-1) / s
 
     p = P / s[..., None, None]
-    out["GLRLM_RE"] = -jnp.sum(p * jnp.log2(p + EPS), axis=(-1, -2))
+    out["GLRLM_RE"] = -jnp.sum(p * fast_log2(p + EPS), axis=(-1, -2))
 
     inv_i2 = 1.0 / (ival * ival)
     i2 = ival * ival

@@ -19,9 +19,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .common import fast_log2
+
 from . import zones
 
-EPS = 1e-9
+EPS = 2.2e-16  # reference: glrlm.h:169 / glszm.h:138 / gldm.h:105
 
 MEMBERS = [
     "GLSZM_SAE", "GLSZM_LAE", "GLSZM_GLN", "GLSZM_GLNN", "GLSZM_SZN",
@@ -85,7 +87,7 @@ def glszm_features(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
     # ZE: cells grouped by (level, size); per zone: log2(c/Nz + EPS)/Nz
     key = jnp.where(seed.reshape(B, -1), zlev * (A + 1.0) + zsize, inf)
     _, cnt_c, v_c = zones.grouped_run_counts(key)
-    ze = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
+    ze = -jnp.sum(jnp.where(v_c, fast_log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
                   axis=1) / s
     out["GLSZM_ZE"] = ze
 

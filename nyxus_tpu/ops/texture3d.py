@@ -32,7 +32,7 @@ from . import glcm as glcm2d
 from . import glrlm as glrlm2d
 from . import ngtdm as ngtdm2d
 from . import zones as zones2d
-from .common import masked_bincount
+from .common import masked_bincount, fast_log2
 
 # (dx, dy, dz), 3d_glcm.cpp:16-31
 GLCM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
@@ -251,8 +251,8 @@ def _glszm_from_zones(seed, lev_flat, size_flat, np_pixels, vmin, vmax,
     out["GLSZM_SZNN"] = szn / (s * s)
     key = jnp.where(seed, zlev * (A + 1.0) + zsize, inf)
     _, cnt_c, v_c = zones2d.grouped_run_counts(key)
-    EPS = 1e-9
-    ze = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
+    EPS = 2.2e-16  # 3d_glszm.h:129 / 3d_gldzm.h:67
+    ze = -jnp.sum(jnp.where(v_c, fast_log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
                   axis=1) / s
     out["GLSZM_ZE"] = ze
     bad = (vmin == vmax) | (nz == 0)
@@ -326,7 +326,7 @@ def gldzm3d_all(levels, valid, heights, widths, roi_area, vmin, vmax,
     maxd = levels.shape[2] + levels.shape[3] + 2.0
     key = jnp.where(wz > 0, zlev * maxd + zd, inf)
     _, cnt_c, v_c = zones2d.grouped_run_counts(key)
-    EPS = 1e-9
+    EPS = 2.2e-16  # 3d_glszm.h:129 / 3d_gldzm.h:67
     zde = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
                    axis=1) / s
     out["GLDZM_ZDE"] = zde

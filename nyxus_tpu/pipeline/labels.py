@@ -74,7 +74,9 @@ def discover_rois(intens: np.ndarray, labels: np.ndarray):
                   int(x0[i]), int(x1[i]), float(vmin[i]), float(vmax[i]))
         for i in range(k)
     ]
-    return recs, float(intens.min()), float(intens.max())
+    # slide min/max over MASKED pixels only: the reference's prescan skips
+    # non-mask pixels (slideprops.cpp:146-162 'if (!msk) continue')
+    return recs, float(vals.min()), float(vals.max())
 
 
 def discover_rois_streamed(source, tile: int = 2048):
@@ -92,14 +94,15 @@ def discover_rois_streamed(source, tile: int = 2048):
         for tx in range(0, W, tile):
             tw = min(tile, W - tx)
             ii, ll = source.read_pair(ty, tx, th, tw)
-            smin = min(smin, float(ii.min()))
-            smax = max(smax, float(ii.max()))
             flat_lab = ll.ravel()
             nz = flat_lab != 0
             if not nz.any():
                 continue
             labs = flat_lab[nz]
             vals = ii.ravel()[nz]
+            # masked-pixels-only slide extrema (slideprops.cpp:146-162)
+            smin = min(smin, float(vals.min()))
+            smax = max(smax, float(vals.max()))
             uniq, inv = np.unique(labs, return_inverse=True)
             k = uniq.size
             area = np.bincount(inv, minlength=k)

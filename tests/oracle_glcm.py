@@ -6,6 +6,8 @@ src/nyx/features/glcm.cpp) with plain per-pixel loops in float64.
 
 import numpy as np
 
+from oracle_fastlog import fast_log2
+
 EPS = 1e-9
 ANGLE_OFFSETS = {0: (1, 0), 45: (1, 1), 90: (0, 1), 135: (-1, 1)}
 
@@ -96,18 +98,18 @@ def glcm_features(M, ng, noval=-0.0):
     out["GLCM_IDM"] = (pxmy / (1 + k * k)).sum()
     s2 = np.arange(2 * ng - 1) + 2.0
     out["GLCM_SUMAVERAGE"] = (pxpy * s2).sum()
-    out["GLCM_SUMENTROPY"] = -(pxpy * np.log2(pxpy + EPS)).sum()
-    out["GLCM_ENTROPY"] = -(p * np.log2(p + EPS)).sum()
+    out["GLCM_SUMENTROPY"] = -(pxpy * fast_log2(pxpy + EPS)).sum()
+    out["GLCM_ENTROPY"] = -(p * fast_log2(p + EPS)).sum()
     difavg = (pxmy * k).sum()
     out["GLCM_DIFAVE"] = difavg
     out["GLCM_DIFVAR"] = ((k - difavg) ** 2 * pxmy).sum()
-    out["GLCM_DIFENTRO"] = -(pxmy * np.log2(pxmy + EPS)).sum()
+    out["GLCM_DIFENTRO"] = -(pxmy * fast_log2(pxmy + EPS)).sum()
 
-    hxy = (p * np.log2(p + EPS)).sum()
+    hxy = (p * fast_log2(p + EPS)).sum()
     pp = px_n[:, None] * px_c[None, :]
-    hxy1 = (p * np.log2(pp + EPS)).sum()
-    hxy2 = (pp * np.log2(pp + EPS)).sum()
-    hx = (px_n * np.log2(px_n + EPS)).sum()
+    hxy1 = (p * fast_log2(pp + EPS)).sum()
+    hxy2 = (pp * fast_log2(pp + EPS)).sum()
+    hx = (px_n * fast_log2(px_n + EPS)).sum()
     with np.errstate(divide="ignore", invalid="ignore"):
         im1 = (hxy - hxy1) / hx
     out["GLCM_INFOMEAS1"] = im1 if np.isfinite(im1) else noval

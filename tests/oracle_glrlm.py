@@ -2,7 +2,9 @@
 
 import numpy as np
 
-EPS = 1e-9
+from oracle_fastlog import fast_log2
+
+EPS = 2.2e-16  # glrlm.h:169
 DIRS = {0: (1, 0), 45: (1, 1), 90: (0, 1), 135: (-1, 1)}
 
 
@@ -64,7 +66,7 @@ def glrlm_features(P, n_pixels):
     mur = (rj * jval).sum() / s
     out["GLRLM_RV"] = (rj * (jval - mur) ** 2).sum() / s
     p = P / s
-    out["GLRLM_RE"] = -(p * np.log2(p + EPS)).sum()
+    out["GLRLM_RE"] = -(p * fast_log2(p + EPS)).sum()
     out["GLRLM_LGLRE"] = (ri / ival**2).sum() / s
     out["GLRLM_HGLRE"] = (ri * ival**2).sum() / s
     out["GLRLM_SRLGLE"] = (P / ival[:, None]**2 / jval[None, :]**2).sum() / s

@@ -2,7 +2,9 @@
 
 import numpy as np
 
-EPS = 1e-9
+from oracle_fastlog import fast_log2
+
+EPS = 2.2e-16  # gldm.h:105
 N8 = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
 
@@ -91,7 +93,7 @@ def gldm(crop, n_levels):
     mud = (sj * jval).sum() / nz
     out["GLDM_DV"] = (sj * (jval - mud) ** 2).sum() / nz
     p = P / nz
-    out["GLDM_DE"] = -(p * np.log2(p + EPS)).sum()
+    out["GLDM_DE"] = -(p * fast_log2(p + EPS)).sum()
     out["GLDM_LGLE"] = (si / ival**2).sum() / nz
     out["GLDM_HGLE"] = (si * ival**2).sum() / nz
     out["GLDM_SDLGLE"] = (P / ival[:, None]**2 / jval[None, :]**2).sum() / nz

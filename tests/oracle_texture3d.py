@@ -6,7 +6,9 @@ src/nyx/features/3d_{glcm,glrlm,glszm,gldzm,gldm,ngldm,ngtdm}.cpp.
 
 import numpy as np
 
-EPS = 1e-9
+from oracle_fastlog import fast_log2
+
+EPS = 2.2e-16  # 3d_*.h
 
 # (dx, dy, dz) -- 3d_glcm.cpp:16-31
 GLCM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
@@ -147,7 +149,7 @@ def glszm3d_features(crop, roi_voxels, n_levels, noval=-0.0):
     out["GLSZM_SZN"] = sum(v * v for v in cs.values()) / s
     out["GLSZM_SZNN"] = out["GLSZM_SZN"] / s
     cc = collections.Counter(zip(zl, zs))
-    out["GLSZM_ZE"] = -sum(v * np.log2(v / s + EPS)
+    out["GLSZM_ZE"] = -sum(v * fast_log2(v / s + EPS)
                            for v in cc.values()) / s
     return out
 
@@ -262,7 +264,7 @@ def gldm3d_features(crop, n_levels):
     mud = (sj * jval).sum() / nz
     out["GLDM_DV"] = (sj * (jval - mud) ** 2).sum() / nz
     p = P / nz
-    out["GLDM_DE"] = -(p * np.log2(p + EPS)).sum()
+    out["GLDM_DE"] = -(p * fast_log2(p + EPS)).sum()
     out["GLDM_LGLE"] = (si / ival**2).sum() / nz
     out["GLDM_HGLE"] = (si * ival**2).sum() / nz
     out["GLDM_SDLGLE"] = (P / ival[:, None]**2 / jval[None, :]**2).sum() / nz

@@ -3,7 +3,9 @@ reference's backtracking zone scan (E/SE/S/SW moves, raster seeds)."""
 
 import numpy as np
 
-EPS = 1e-9
+from oracle_fastlog import fast_log2
+
+EPS = 2.2e-16  # glszm.h:138 (GLDZM ZDE keeps its own)
 
 
 def bin_matlab_img(img, n):
@@ -105,7 +107,7 @@ def glszm_features(crop, n_levels, noval=-0.0):
     muz = sizes.mean()
     out["GLSZM_ZV"] = ((sizes - muz) ** 2).mean()
     cc = Counter(zip(levels, sizes))
-    out["GLSZM_ZE"] = -sum(c / nz * np.log2(c / nz + EPS) for c in cc.values())
+    out["GLSZM_ZE"] = -sum(c / nz * fast_log2(c / nz + EPS) for c in cc.values())
     out["GLSZM_LGLZE"] = (1 / levels**2).mean()
     out["GLSZM_HGLZE"] = (levels**2).mean()
     out["GLSZM_SALGLE"] = (1 / levels**2 / sizes**2).mean()

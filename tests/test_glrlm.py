@@ -11,6 +11,17 @@ from nyxus_tpu.pipeline.runner import PairRunner
 import oracle_glrlm as oracle
 
 RTOL = 1e-9
+
+
+# entropy members flow through the reference's float32 fast-log
+# approximation (ops/common.fast_log2); a 1-ulp float32 boundary flip
+# between production and oracle inputs shows up at ~1e-7 relative
+_ENTROPY_MEMBERS = ("ENTRO", "_JE", "_RE", "_ZE", "_DE", "INFOMEAS", "_HXY",
+                    "_ZDE", "DCENT")
+
+
+def _rtol(member, tight):
+    return 5e-7 if any(t in member for t in _ENTROPY_MEMBERS) else tight
 ANGLES = (0, 45, 90, 135)
 
 
@@ -46,7 +57,7 @@ def test_glrlm_matches_oracle(blob_pair):
             ref = oracle.glrlm_features(P, n_pixels)
             for m in oracle.ALL:
                 got = row["%s_%d" % (m, ang)]
-                assert got == pytest.approx(ref[m], rel=RTOL, abs=1e-10), (
+                assert got == pytest.approx(ref[m], rel=_rtol(m, RTOL), abs=1e-10), (
                     "%s angle %d lab %d" % (m, ang, lab))
                 checked += 1
     assert checked > 400

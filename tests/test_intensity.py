@@ -28,7 +28,9 @@ def extracted(blob_pair):
 def test_all_members_match_oracle(extracted):
     intens, labels, labs, values, colnames, cfg = extracted
     assert len(labs) > 5
-    slide_range = float(intens.max() - intens.min())
+    # slide extrema over MASKED pixels only (slideprops.cpp:146-162)
+    masked = intens[labels != 0]
+    slide_range = float(masked.max() - masked.min())
     for i, lab in enumerate(labs):
         v = intens[labels == lab].astype(np.float64)
         ref = oracle.intensity_features(v, slide_range, cfg.coarse_gray_depth)
