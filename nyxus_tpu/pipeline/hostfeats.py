@@ -87,7 +87,10 @@ def convex_hull_features(hc, cfg):
     perim = hc.get_feature("PERIMETER")
     for i, r in enumerate(hc.recs):
         ys, xs = hc.roi_points(i)
-        hull = build_convex_hull(xs, ys)
+        # hull in GLOBAL coordinates: the reference's caliper rotations
+        # float32-round the rotated GLOBAL vertices (rotation.cpp:66), and
+        # float32 rounding is not translation-invariant
+        hull = build_convex_hull(xs + r.x0, ys + r.y0)
         hc.hulls[i] = hull
         s_hull = polygon_area(hull) + hull_boundary_points(hull) / 2.0 + 1.0
         s_roi = r.area
@@ -103,14 +106,16 @@ def convex_hull_features(hc, cfg):
 # calipers (caliper_feret.cpp, caliper_martin.cpp, caliper_nassenstein.cpp)
 
 def _rotate_fp(hull, theta_deg):
-    """rotate_around_center_fp (rotation.cpp): rotation around the hull's
-    centroid, float-precision."""
+    """rotate_around_center_fp (rotation.cpp:37-68): rotation around the
+    hull's centroid; the rotated vertices are stored as FLOAT32 Point2f, so
+    downstream caliper math runs on float32-rounded coordinates."""
     c = hull.mean(axis=0)
     th = np.float32(theta_deg) * np.float32(math.pi) / np.float32(180.0)
     s, co = math.sin(th), math.cos(th)
     d = hull - c
-    return np.stack([d[:, 0] * co - d[:, 1] * s + c[0],
-                     d[:, 0] * s + d[:, 1] * co + c[1]], axis=1)
+    out = np.stack([d[:, 0] * co - d[:, 1] * s + c[0],
+                    d[:, 0] * s + d[:, 1] * co + c[1]], axis=1)
+    return out.astype(np.float32).astype(np.float64)
 
 
 def _common_stats(data):
@@ -199,7 +204,8 @@ def _rotate_fp_batch(hull, thetas_deg):
     co = np.array([math.cos(t) for t in th])[:, None]
     rx = d[None, :, 0] * co - d[None, :, 1] * s + c[0]
     ry = d[None, :, 0] * s + d[None, :, 1] * co + c[1]
-    return np.stack([rx, ry], axis=2)
+    # Point2f storage: float32 rounding of the rotated vertices
+    return np.stack([rx, ry], axis=2).astype(np.float32).astype(np.float64)
 
 
 def caliper_feret(hc, cfg):
@@ -335,14 +341,18 @@ def chords(hc, cfg):
     n_side_segments = 100
     angs = _chord_angles()
     A = len(angs)
-    # math trig per angle for bit parity with the reference loop
-    sin_a = np.array([math.sin(a) for a in angs])[:, None]   # [A, 1]
-    cos_a = np.array([math.cos(a) for a in angs])[:, None]
+    # the reference passes theta through a FLOAT parameter
+    # (rotation.h:36 'float theta'), so trig runs on the float32-rounded
+    # angle; math trig per angle for bit parity
+    sin_a = np.array([math.sin(float(np.float32(a))) for a in angs])[:, None]
+    cos_a = np.array([math.cos(float(np.float32(a))) for a in angs])[:, None]
     aidx_row = np.arange(A)
     for i, r in enumerate(hc.recs):
         ys, xs = hc.roi_points(i)
         if len(xs) == 0:
             continue
+        ii_crop, _ = hc.pair_crop(i)
+        inten = ii_crop[ys, xs]
         cenx = (r.x0 + r.x1) / 2.0
         ceny = (r.y0 + r.y1) / 2.0
         gx = (xs + r.x0)[None, :]            # [1, P]
@@ -364,15 +374,26 @@ def chords(hc, cfg):
         a_k = np.broadcast_to(aidx_row[:, None], cx.shape)[keep]
         x_k = cx[keep]
         y_k = cy[keep]
-        order = np.lexsort((y_k, x_k, a_k))
+        # cell value = intensity of the LAST cloud pixel mapping there
+        # (ImageMatrix rasterization overwrites, image_matrix.h:270-276);
+        # zero-INTENSITY cells break chords (get_chlen tests != 0)
+        i_k = np.broadcast_to(inten[None, :], cx.shape)[keep]
+        c_k = np.broadcast_to(np.arange(len(xs))[None, :], cx.shape)[keep]
+        order = np.lexsort((c_k, y_k, x_k, a_k))
         a_s, x_s, y_s = a_k[order], x_k[order], y_k[order]
-        # dedup (several pixels can rotate onto one raster cell)
+        i_s = i_k[order]
+        # dedup keeping the LAST writer of each cell
         if len(a_s) > 1:
-            uniq = np.empty(len(a_s), bool)
-            uniq[0] = True
-            uniq[1:] = ((a_s[1:] != a_s[:-1]) | (x_s[1:] != x_s[:-1])
-                        | (y_s[1:] != y_s[:-1]))
-            a_s, x_s, y_s = a_s[uniq], x_s[uniq], y_s[uniq]
+            last = np.empty(len(a_s), bool)
+            last[-1] = True
+            last[:-1] = ((a_s[1:] != a_s[:-1]) | (x_s[1:] != x_s[:-1])
+                         | (y_s[1:] != y_s[:-1]))
+            a_s, x_s, y_s, i_s = (a_s[last], x_s[last], y_s[last],
+                                  i_s[last])
+        nzcell = i_s != 0
+        a_s, x_s, y_s = a_s[nzcell], x_s[nzcell], y_s[nzcell]
+        if len(a_s) == 0:
+            continue
         # vertical run boundaries within each (angle, column)
         newrun = np.empty(len(a_s), bool)
         newrun[0] = True
@@ -381,9 +402,19 @@ def chords(hc, cfg):
         run_start = np.nonzero(newrun)[0]
         run_len = np.diff(np.append(run_start, len(a_s)))
         run_a, run_x = a_s[run_start], x_s[run_start]
+        # get_chlen quirk (image_matrix.cpp:206-236): a run is only counted
+        # when TERMINATED by a zero below it; runs reaching the raster's
+        # bottom row never fold into maxChlen
+        hr = cy.max(axis=1)           # bottom row index per angle
+        run_end_y = y_s[run_start] + run_len - 1
+        terminated = run_end_y != hr[run_a]
+        run_a, run_x, run_len = (run_a[terminated], run_x[terminated],
+                                 run_len[terminated])
+        if len(run_a) == 0:
+            continue
         # longest run per (angle, column) — columns in (angle, col) order,
         # matching the reference's angle-outer / column-inner append order
-        newcol = np.empty(len(run_start), bool)
+        newcol = np.empty(len(run_a), bool)
         newcol[0] = True
         newcol[1:] = (run_a[1:] != run_a[:-1]) | (run_x[1:] != run_x[:-1])
         col_start = np.nonzero(newcol)[0]
@@ -399,13 +430,19 @@ def chords(hc, cfg):
         MCang = angs[col_a[ang_start]]
         if len(MC) == 0:
             continue
-        for pre, V, Aang in (("MAXCHORDS", MC, MCang), ("ALLCHORDS", AC, ACang)):
+        # Faithful quirk: the reference reuses one TrivialHistogram without
+        # clearing (initialize_uniques appends, histogram.h:199-203), so the
+        # ALLCHORDS mode/median are computed over MC + AC concatenated
+        # (chords.cpp:72-99)
+        for pre, V, Aang, H in (("MAXCHORDS", MC, MCang, MC),
+                                ("ALLCHORDS", AC, ACang,
+                                 np.concatenate([MC, AC]))):
             mean = V.mean()
             std = math.sqrt(((V - mean) ** 2).sum() / (len(V) - 1)) if len(V) > 2 else 0.0
-            sv = np.sort(V)
+            sv = np.sort(H)
             half = len(sv) // 2
             median = sv[half] if len(sv) % 2 else (sv[half - 1] + sv[half]) / 2.0
-            vals, counts = np.unique(V, return_counts=True)
+            vals, counts = np.unique(H, return_counts=True)
             mode = vals[int(np.argmax(counts))]
             out[pre + "_MAX"][i] = V.max()
             out[pre + "_MIN"][i] = V.min()

@@ -175,6 +175,8 @@ def chords_loop(hc, cfg):
     ang_step = math.pi / n_angle_segments
     for i, r in enumerate(hc.recs):
         ys, xs = hc.roi_points(i)
+        ii_crop, _ = hc.pair_crop(i)
+        inten = ii_crop[ys, xs]
         cenx = (r.x0 + r.x1) / 2.0
         ceny = (r.y0 + r.y1) / 2.0
         gx = xs + r.x0
@@ -182,7 +184,9 @@ def chords_loop(hc, cfg):
         AC, ACang, MC, MCang = [], [], [], []
         ang = 0.0
         while ang < math.pi:
-            s, c = math.sin(ang), math.cos(ang)
+            # reference: float theta parameter (rotation.h:36)
+            ang32 = float(np.float32(ang))
+            s, c = math.sin(ang32), math.cos(ang32)
             # rotate_cloud + Pixel2(float) truncation toward zero
             xr = ((gx - cenx) * c - (gy - ceny) * s + cenx).astype(np.float32)
             yr = ((gy - ceny) * c + (gx - cenx) * s + ceny).astype(np.float32)
@@ -191,19 +195,22 @@ def chords_loop(hc, cfg):
             x0r, y0r = xi.min(), yi.min()
             wr = xi.max() - x0r + 1
             hr = yi.max() - y0r + 1
-            img = np.zeros((hr, wr), bool)
-            img[yi - y0r, xi - x0r] = True
+            # intensity raster, last writer wins (image_matrix.h:270-276)
+            img = np.zeros((hr, wr))
+            img[yi - y0r, xi - x0r] = inten
             step = wr // n_side_segments if wr >= 2 * n_side_segments else 1
             TC = []
             for col in range(0, wr, step):
                 colv = img[:, col]
-                # longest contiguous run (get_chlen)
+                # get_chlen (image_matrix.cpp:206-236): longest NONZERO run
+                # TERMINATED by a zero -- a run reaching the bottom edge is
+                # never folded into maxChlen (faithful quirk)
                 best = cur = 0
                 for v in colv:
-                    if v:
+                    if v != 0:
                         cur += 1
-                        best = max(best, cur)
                     else:
+                        best = max(best, cur)
                         cur = 0
                 if best > 0:
                     TC.append(best)
@@ -215,14 +222,17 @@ def chords_loop(hc, cfg):
             ang += ang_step
         if not MC:
             continue
-        for pre, V, A in (("MAXCHORDS", MC, MCang), ("ALLCHORDS", AC, ACang)):
+        # un-cleared histogram reuse: ALLCHORDS mode/median over MC + AC
+        for pre, V, A, H in (("MAXCHORDS", MC, MCang, MC),
+                             ("ALLCHORDS", AC, ACang, MC + AC)):
             V = np.asarray(V, np.float64)
+            H = np.asarray(H, np.float64)
             mean = V.mean()
             std = math.sqrt(((V - mean) ** 2).sum() / (len(V) - 1)) if len(V) > 2 else 0.0
-            sv = np.sort(V)
+            sv = np.sort(H)
             half = len(sv) // 2
             median = sv[half] if len(sv) % 2 else (sv[half - 1] + sv[half]) / 2.0
-            vals, counts = np.unique(V, return_counts=True)
+            vals, counts = np.unique(H, return_counts=True)
             mode = vals[int(np.argmax(counts))]
             out[pre + "_MAX"][i] = V.max()
             out[pre + "_MIN"][i] = V.min()

@@ -26,21 +26,33 @@ class _Rec:
 class _HC:
     """Minimal HostContext stand-in: ROIs from a label image."""
 
-    def __init__(self, label_img):
+    def __init__(self, label_img, intens=None):
+        if intens is None:
+            # nonzero intensities incl. a few 0-valued ROI pixels to
+            # exercise the chord-breaking semantics
+            r = np.random.default_rng(7)
+            intens = r.integers(0, 50, label_img.shape).astype(np.float64)
         labs = np.unique(label_img)
         labs = labs[labs != 0]
         self.recs = []
         self._pts = []
+        self._crops = []
         self.hulls = []
         for lab in labs:
             ys, xs = np.nonzero(label_img == lab)
-            self.recs.append(_Rec(ys, xs))
+            rec = _Rec(ys, xs)
+            self.recs.append(rec)
             loc = (ys - ys.min(), xs - xs.min())
             self._pts.append(loc)
+            sl = (slice(rec.y0, rec.y1 + 1), slice(rec.x0, rec.x1 + 1))
+            self._crops.append((intens[sl], label_img[sl] == lab))
             self.hulls.append(hf.build_convex_hull(loc[1], loc[0]))
 
     def roi_points(self, i):
         return self._pts[i]
+
+    def pair_crop(self, i):
+        return self._crops[i]
 
 
 class _Cfg:
@@ -102,7 +114,10 @@ def test_chords_degenerate_single_pixel():
     got = hf.chords(hc1, _Cfg())
     want = chords_loop(hc1, _Cfg())
     _assert_equal_dicts(got, want)
-    assert got["MAXCHORDS_MAX"][0] == 1.0
+    # get_chlen never counts a run that touches the raster's bottom edge
+    # (image_matrix.cpp:206-236), so a 1-px ROI yields NO chords and the
+    # members stay at the unassigned sentinel
+    assert got["MAXCHORDS_MAX"][0] == -0.0
 
 
 def test_chords_line_rois():

@@ -43,20 +43,9 @@ FAMILY_TOL = {
 # compare at print precision
 PRINT_PRECISION_TOL = 2e-5
 
-# Known remaining divergences (documented, tracked): chord/caliper stats
-# differ on a minority of ROIs (rotation rasterization tie-breaks under
-# investigation); min enclosing circle uses a different point order.
+# Known remaining divergences (documented, tracked)
 LOOSE = {
-    "MAXCHORDS_MAX": 0.12, "MAXCHORDS_MAX_ANG": 3.2, "MAXCHORDS_MIN": 0.30,
-    "MAXCHORDS_MIN_ANG": 3.2, "MAXCHORDS_MEDIAN": 0.15, "MAXCHORDS_MEAN": 0.10,
-    "MAXCHORDS_MODE": 1.0, "MAXCHORDS_STDDEV": 0.35,
-    "ALLCHORDS_MAX": 0.12, "ALLCHORDS_MAX_ANG": 3.2, "ALLCHORDS_MIN": 1.0,
-    "ALLCHORDS_MIN_ANG": 3.2, "ALLCHORDS_MEDIAN": 0.35, "ALLCHORDS_MEAN": 0.20,
-    "ALLCHORDS_MODE": 1.0, "ALLCHORDS_STDDEV": 0.25,
-    "STAT_FERET_DIAM_MODE": 0.30, "STAT_MARTIN_DIAM_MODE": 0.30,
-    "STAT_NASSENSTEIN_DIAM_MODE": 0.30,
     "DIAMETER_MIN_ENCLOSING_CIRCLE": 0.12,
-    "GLDZM_SDLGLE": 0.05, "GLDZM_LGLZE": 0.05,
 }
 
 

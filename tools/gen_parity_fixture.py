@@ -26,9 +26,9 @@ def main():
     for d in ("int", "seg"):
         os.makedirs(os.path.join(base, d), exist_ok=True)
     native.write_tiff(os.path.join(base, "int", "slide.ome.tif"),
-                      intens.astype(np.uint16), tile_size=256)
+                      intens.astype(np.uint16), tile_size=0)  # strip TIFF: raster-order pixel feed
     native.write_tiff(os.path.join(base, "seg", "slide.ome.tif"),
-                      labels.astype(np.uint16), tile_size=256)
+                      labels.astype(np.uint16), tile_size=0)  # strip TIFF: raster-order pixel feed
     out = os.path.join(base, "out")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
