@@ -33,7 +33,7 @@ _lib = None
 _build_err = None
 
 _SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp",
-            "contour.cpp")
+            "contour.cpp", "geomfeats.cpp")
 
 
 def _needs_build() -> bool:
@@ -100,6 +100,21 @@ def _load():
         lib.nyx_blosc_compress_lz4.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int]
+        for nm in ("nyx_caliper_feret", "nyx_caliper_martin",
+                   "nyx_caliper_nassenstein"):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_chords.restype = None
+        lib.nyx_chords.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_long,
+                                   ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_min_enclosing_circles.restype = None
+        lib.nyx_min_enclosing_circles.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
         lib.nyx_contour_sqdist_approx.restype = None
         lib.nyx_contour_sqdist_approx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -358,3 +373,86 @@ def convex_hull(xs, ys):
                             ys.ctypes.data_as(ctypes.c_void_p), len(xs),
                             out.ctypes.data_as(ctypes.c_void_p))
     return out[:k].copy()
+
+
+def _concat_offsets(arrays, dtype):
+    """Concatenate per-ROI 1-D arrays -> (flat, offsets[int64, N+1])."""
+    offsets = np.zeros(len(arrays) + 1, np.int64)
+    for i, a in enumerate(arrays):
+        offsets[i + 1] = offsets[i] + len(a)
+    if offsets[-1] == 0:
+        return np.zeros(0, dtype), offsets
+    flat = np.concatenate([np.ascontiguousarray(a, dtype) for a in arrays])
+    return flat, offsets
+
+
+def _n_threads():
+    return max(1, os.cpu_count() or 1)
+
+
+def caliper_batch(kind, hulls, fill):
+    """Run a caliper family natively over all ROIs.
+
+    kind: 'feret' (8 outputs) | 'martin' | 'nassenstein' (6 outputs);
+    hulls: list of [K, 2] float arrays (global coords) or None.
+    Returns [N, W] float64 initialized to ``fill``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    width = 8 if kind == "feret" else 6
+    n = len(hulls)
+    out = np.full((n, width), fill, np.float64)
+    hx, off = _concat_offsets(
+        [h[:, 0] if h is not None else np.zeros(0) for h in hulls], np.float64)
+    hy, _ = _concat_offsets(
+        [h[:, 1] if h is not None else np.zeros(0) for h in hulls], np.float64)
+    fn = getattr(lib, "nyx_caliper_" + kind)
+    fn(hx.ctypes.data_as(ctypes.c_void_p), hy.ctypes.data_as(ctypes.c_void_p),
+       off.ctypes.data_as(ctypes.c_void_p), n,
+       out.ctypes.data_as(ctypes.c_void_p), _n_threads())
+    return out
+
+
+def chords_batch(points, aabbs):
+    """Chord statistics natively over all ROIs.
+
+    points: list of (gx int64, gy int64, inten float64) in cloud order;
+    aabbs: [N, 4] int64 (x0, x1, y0, y1).  Returns [N, 16] float64
+    (-0.0 rows where no chords)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    n = len(points)
+    out = np.full((n, 16), -0.0, np.float64)
+    gx, off = _concat_offsets([p[0] for p in points], np.int64)
+    gy, _ = _concat_offsets([p[1] for p in points], np.int64)
+    it, _ = _concat_offsets([p[2] for p in points], np.float64)
+    ab = np.ascontiguousarray(aabbs, np.int64)
+    lib.nyx_chords(gx.ctypes.data_as(ctypes.c_void_p),
+                   gy.ctypes.data_as(ctypes.c_void_p),
+                   it.ctypes.data_as(ctypes.c_void_p),
+                   off.ctypes.data_as(ctypes.c_void_p),
+                   ab.ctypes.data_as(ctypes.c_void_p), n,
+                   out.ctypes.data_as(ctypes.c_void_p), _n_threads())
+    return out
+
+
+def min_enclosing_circles(contours):
+    """Min enclosing circle DIAMETER per ROI (float32 reference algorithm,
+    circle.cpp:28-216).  contours: list of [K, 2] float arrays or None."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    n = len(contours)
+    out = np.zeros(n, np.float64)
+    px, off = _concat_offsets(
+        [c[:, 0] if c is not None else np.zeros(0) for c in contours],
+        np.float64)
+    py, _ = _concat_offsets(
+        [c[:, 1] if c is not None else np.zeros(0) for c in contours],
+        np.float64)
+    lib.nyx_min_enclosing_circles(
+        px.ctypes.data_as(ctypes.c_void_p), py.ctypes.data_as(ctypes.c_void_p),
+        off.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p), _n_threads())
+    return out

@@ -105,13 +105,24 @@ def convex_hull_features(hc, cfg):
 # ---------------------------------------------------------------------------
 # calipers (caliper_feret.cpp, caliper_martin.cpp, caliper_nassenstein.cpp)
 
+def _seq_mean(v):
+    """Sequential-order mean (the reference accumulates the hull centroid
+    in a plain loop, rotation.cpp:47-53; numpy's pairwise sum can differ in
+    the last bit and flip downstream ties)."""
+    acc = 0.0
+    for x in v:
+        acc += float(x)
+    return acc / len(v)
+
+
 def _rotate_fp(hull, theta_deg):
     """rotate_around_center_fp (rotation.cpp:37-68): rotation around the
     hull's centroid; the rotated vertices are stored as FLOAT32 Point2f, so
     downstream caliper math runs on float32-rounded coordinates."""
-    c = hull.mean(axis=0)
+    c = (_seq_mean(hull[:, 0]), _seq_mean(hull[:, 1]))
     th = np.float32(theta_deg) * np.float32(math.pi) / np.float32(180.0)
-    s, co = math.sin(th), math.cos(th)
+    # the reference's unqualified sin(float) picks the FLOAT overload
+    s, co = float(np.float32(math.sin(float(th)))),         float(np.float32(math.cos(float(th))))
     d = hull - c
     out = np.stack([d[:, 0] * co - d[:, 1] * s + c[0],
                     d[:, 0] * s + d[:, 1] * co + c[1]], axis=1)
@@ -195,20 +206,20 @@ def _rotate_fp_batch(hull, thetas_deg):
     """_rotate_fp over a batch of angles: returns [A, K, 2].
 
     Matches _rotate_fp's float32 theta conversion and double trig."""
-    c = hull.mean(axis=0)
+    c = (_seq_mean(hull[:, 0]), _seq_mean(hull[:, 1]))
     d = hull - c
     th = (np.asarray(thetas_deg, np.float32) * np.float32(math.pi)
           / np.float32(180.0)).astype(np.float64)
-    # math.sin/cos to stay bit-identical with the scalar _rotate_fp
-    s = np.array([math.sin(t) for t in th])[:, None]
-    co = np.array([math.cos(t) for t in th])[:, None]
+    # float-overload trig, bit-identical with the scalar _rotate_fp
+    s = np.array([float(np.float32(math.sin(t))) for t in th])[:, None]
+    co = np.array([float(np.float32(math.cos(t))) for t in th])[:, None]
     rx = d[None, :, 0] * co - d[None, :, 1] * s + c[0]
     ry = d[None, :, 0] * s + d[None, :, 1] * co + c[1]
     # Point2f storage: float32 rounding of the rotated vertices
     return np.stack([rx, ry], axis=2).astype(np.float32).astype(np.float64)
 
 
-def caliper_feret(hc, cfg):
+def caliper_feret_py(hc, cfg):
     n = len(hc.recs)
     nv = cfg.noval
     names = ("MIN_FERET_ANGLE", "MAX_FERET_ANGLE", "STAT_FERET_DIAM_MIN",
@@ -240,7 +251,7 @@ def caliper_feret(hc, cfg):
     return out
 
 
-def caliper_martin(hc, cfg):
+def caliper_martin_py(hc, cfg):
     n = len(hc.recs)
     out = {k: np.full(n, cfg.noval) for k in (
         "STAT_MARTIN_DIAM_MIN", "STAT_MARTIN_DIAM_MAX", "STAT_MARTIN_DIAM_MEAN",
@@ -275,7 +286,7 @@ def caliper_martin(hc, cfg):
     return out
 
 
-def caliper_nassenstein(hc, cfg):
+def caliper_nassenstein_py(hc, cfg):
     n = len(hc.recs)
     out = {k: np.full(n, cfg.noval) for k in (
         "STAT_NASSENSTEIN_DIAM_MIN", "STAT_NASSENSTEIN_DIAM_MAX",
@@ -320,7 +331,7 @@ def _chord_angles(n_angle_segments=20):
     return np.asarray(angs, np.float64)
 
 
-def chords(hc, cfg):
+def chords_py(hc, cfg):
     """Chord statistics over a 20-angle rotation sweep (chords.cpp).
 
     Vectorized: instead of rasterizing every rotation and scanning columns
@@ -341,11 +352,13 @@ def chords(hc, cfg):
     n_side_segments = 100
     angs = _chord_angles()
     A = len(angs)
-    # the reference passes theta through a FLOAT parameter
-    # (rotation.h:36 'float theta'), so trig runs on the float32-rounded
-    # angle; math trig per angle for bit parity
-    sin_a = np.array([math.sin(float(np.float32(a))) for a in angs])[:, None]
-    cos_a = np.array([math.cos(float(np.float32(a))) for a in angs])[:, None]
+    # the reference passes theta through a FLOAT parameter (rotation.h:36)
+    # and its unqualified sin(float) resolves to the FLOAT overload, so
+    # trig runs entirely in float32
+    sin_a = np.array([float(np.float32(math.sin(float(np.float32(a)))))
+                      for a in angs])[:, None]
+    cos_a = np.array([float(np.float32(math.cos(float(np.float32(a)))))
+                      for a in angs])[:, None]
     aidx_row = np.arange(A)
     for i, r in enumerate(hc.recs):
         ys, xs = hc.roi_points(i)
@@ -455,76 +468,213 @@ def chords(hc, cfg):
     return out
 
 
+
 # ---------------------------------------------------------------------------
-# circles (circle.cpp) -- exact Welzl min enclosing circle in double
+# native dispatch: the C++ ports in native/src/geomfeats.cpp run these hot
+# families threaded (the reference runs them on std::async CPU threads);
+# the *_py numpy bodies above stay as the parity oracles / fallbacks
 
-def _min_enclosing_circle(pts):
-    import random
-    rnd = random.Random(0)
-    P = [tuple(p) for p in pts]
-    rnd.shuffle(P)
+_FERET_MEMBERS = ("MIN_FERET_ANGLE", "MAX_FERET_ANGLE", "STAT_FERET_DIAM_MIN",
+                  "STAT_FERET_DIAM_MAX", "STAT_FERET_DIAM_MEAN",
+                  "STAT_FERET_DIAM_MEDIAN", "STAT_FERET_DIAM_STDDEV",
+                  "STAT_FERET_DIAM_MODE")
+_MARTIN_MEMBERS = ("STAT_MARTIN_DIAM_MIN", "STAT_MARTIN_DIAM_MAX",
+                   "STAT_MARTIN_DIAM_MEAN", "STAT_MARTIN_DIAM_MEDIAN",
+                   "STAT_MARTIN_DIAM_STDDEV", "STAT_MARTIN_DIAM_MODE")
+_NASS_MEMBERS = ("STAT_NASSENSTEIN_DIAM_MIN", "STAT_NASSENSTEIN_DIAM_MAX",
+                 "STAT_NASSENSTEIN_DIAM_MEAN", "STAT_NASSENSTEIN_DIAM_MEDIAN",
+                 "STAT_NASSENSTEIN_DIAM_STDDEV", "STAT_NASSENSTEIN_DIAM_MODE")
+# native column order: min, max, mean, median, stdev, mode (+ angles for
+# feret: min_angle, max_angle first)
+_FERET_COLS = (0, 1, 2, 3, 4, 5, 6, 7)
+_STAT_PERM = {"MIN": 0, "MAX": 1, "MEAN": 2, "MEDIAN": 3, "STDDEV": 4,
+              "MODE": 5}
 
-    def circle2(a, b):
-        c = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
-        r = math.hypot(a[0] - b[0], a[1] - b[1]) / 2.0
-        return c, r
 
-    def circle3(a, b, c):
-        ax, ay = a; bx, by = b; cx, cy = c
-        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-        if d == 0:
-            return None
-        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
-              + (cx**2 + cy**2) * (ay - by)) / d
-        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
-              + (cx**2 + cy**2) * (bx - ax)) / d
-        ctr = (ux, uy)
-        return ctr, math.hypot(ax - ux, ay - uy)
+def _caliper_native(kind, members, hc, cfg):
+    from .. import native
+    out_mat = native.caliper_batch(kind, hc.hulls, cfg.noval)
+    out = {}
+    if kind == "feret":
+        for j, m in enumerate(members):
+            out[m] = out_mat[:, j].copy()
+    else:
+        for m in members:
+            out[m] = out_mat[:, _STAT_PERM[m.rsplit("_", 1)[1]]].copy()
+    return out
 
-    def inside(c, p):
-        return c is not None and math.hypot(p[0] - c[0][0], p[1] - c[0][1]) <= c[1] + 1e-10
 
-    c = None
-    for idx, p in enumerate(P):
-        if inside(c, p):
-            continue
-        c = (p, 0.0)
-        for j, q in enumerate(P[:idx]):
-            if inside(c, q):
+def caliper_feret(hc, cfg):
+    from .. import native
+    if not native.available():
+        return caliper_feret_py(hc, cfg)
+    # native order: min_ang, max_ang, min, max, mean, median, stdev, mode
+    m = native.caliper_batch("feret", hc.hulls, cfg.noval)
+    return {"MIN_FERET_ANGLE": m[:, 0].copy(),
+            "MAX_FERET_ANGLE": m[:, 1].copy(),
+            "STAT_FERET_DIAM_MIN": m[:, 2].copy(),
+            "STAT_FERET_DIAM_MAX": m[:, 3].copy(),
+            "STAT_FERET_DIAM_MEAN": m[:, 4].copy(),
+            "STAT_FERET_DIAM_MEDIAN": m[:, 5].copy(),
+            "STAT_FERET_DIAM_STDDEV": m[:, 6].copy(),
+            "STAT_FERET_DIAM_MODE": m[:, 7].copy()}
+
+
+def caliper_martin(hc, cfg):
+    from .. import native
+    if not native.available():
+        return caliper_martin_py(hc, cfg)
+    return _caliper_native("martin", _MARTIN_MEMBERS, hc, cfg)
+
+
+def caliper_nassenstein(hc, cfg):
+    from .. import native
+    if not native.available():
+        return caliper_nassenstein_py(hc, cfg)
+    return _caliper_native("nassenstein", _NASS_MEMBERS, hc, cfg)
+
+
+_CHORD_MEMBERS = ("MAX", "MAX_ANG", "MIN", "MIN_ANG", "MEDIAN", "MEAN",
+                  "MODE", "STDDEV")
+
+
+def chords(hc, cfg):
+    from .. import native
+    if not native.available():
+        return chords_py(hc, cfg)
+    points = []
+    aabbs = np.zeros((len(hc.recs), 4), np.int64)
+    for i, r in enumerate(hc.recs):
+        ys, xs = hc.roi_points(i)
+        ii_crop, _ = hc.pair_crop(i)
+        points.append(((xs + r.x0).astype(np.int64),
+                       (ys + r.y0).astype(np.int64),
+                       ii_crop[ys, xs].astype(np.float64)))
+        aabbs[i] = (r.x0, r.x1, r.y0, r.y1)
+    m = native.chords_batch(points, aabbs)
+    out = {}
+    for j, tag in enumerate(_CHORD_MEMBERS):
+        out["MAXCHORDS_" + tag] = m[:, j].copy()
+        out["ALLCHORDS_" + tag] = m[:, 8 + j].copy()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# circles (circle.cpp:28-245) -- the reference's deterministic float32
+# min-enclosing-circle search (not a shuffled Welzl)
+
+def _min_enclosing_circle_diam_py(px, py):
+    """Python port of circle.cpp:145-216 (parity oracle for the native
+    kernel).  All intermediate math in float32 like the reference."""
+    f = np.float32
+    EPS = f(1.0e-4)
+    n = len(px)
+    if n == 0:
+        return 0.0
+    if n == 1:
+        return float(2.0 * EPS)
+    def nl2(dx, dy):
+        return f(math.sqrt(f(f(dx) * f(dx)) + f(f(dy) * f(dy))))
+    if n == 2:
+        return float(2.0 * (nl2(f(px[0]) - f(px[1]), f(py[0]) - f(py[1]))
+                            / f(2) + EPS))
+
+    def circle3(p):
+        v1 = (f(p[1][0] - p[0][0]), f(p[1][1] - p[0][1]))
+        v2 = (f(p[2][0] - p[0][0]), f(p[2][1] - p[0][1]))
+        mid1 = (f((p[0][0] + p[1][0]) / 2), f((p[0][1] + p[1][1]) / 2))
+        c1 = f(f(mid1[0] * v1[0]) + f(mid1[1] * v1[1]))
+        mid2 = (f((p[0][0] + p[2][0]) / 2), f((p[0][1] + p[2][1]) / 2))
+        c2 = f(f(mid2[0] * v2[0]) + f(mid2[1] * v2[1]))
+        det = f(f(v1[0] * v2[1]) - f(v1[1] * v2[0]))
+        if abs(det) <= EPS:
+            d1 = nl2(p[0][0] - p[1][0], p[0][1] - p[1][1])
+            d2 = nl2(p[0][0] - p[2][0], p[0][1] - p[2][1])
+            d3 = nl2(p[1][0] - p[2][0], p[1][1] - p[2][1])
+            radius = f(f(math.sqrt(max(d1, d2, d3))) * f(0.5) + EPS)
+            if d1 >= d2 and d1 >= d3:
+                ctr = (f((p[0][0] + p[1][0]) * 0.5), f((p[0][1] + p[1][1]) * 0.5))
+            elif d2 >= d1 and d2 >= d3:
+                ctr = (f((p[0][0] + p[2][0]) * 0.5), f((p[0][1] + p[2][1]) * 0.5))
+            else:
+                ctr = (f((p[1][0] + p[2][0]) * 0.5), f((p[1][1] + p[2][1]) * 0.5))
+            return ctr, radius
+        cx = f(f(f(c1 * v2[1]) - f(c2 * v1[1])) / det)
+        cy = f(f(f(v1[0] * c2) - f(v2[0] * c1)) / det)
+        ctr = (cx, cy)
+        dx = f(cx - f(p[0][0]))
+        dy = f(cy - f(p[0][1]))
+        return ctr, f(f(math.sqrt(f(dx * dx) + f(dy * dy))) + EPS)
+
+    def third_point(i, j):
+        center = (f((px[j] + px[i]) / 2), f((py[j] + py[i]) / 2))
+        radius = f(nl2(px[j] - px[i], py[j] - py[i]) / f(2) + EPS)
+        for k in range(j):
+            if nl2(center[0] - f(px[k]), center[1] - f(py[k])) < radius:
                 continue
-            c = circle2(p, q)
-            for k, t in enumerate(P[:j]):
-                if inside(c, t):
-                    continue
-                cc = circle3(p, q, t)
-                if cc is not None:
-                    c = cc
-    return c
+            pts = ((f(px[i]), f(py[i])), (f(px[j]), f(py[j])),
+                   (f(px[k]), f(py[k])))
+            nc, nr = circle3(pts)
+            if nr > 0:
+                radius, center = nr, nc
+        return center, radius
+
+    def second_point(i):
+        center = (f((px[0] + px[i]) / 2), f((py[0] + py[i]) / 2))
+        radius = f(nl2(px[0] - px[i], py[0] - py[i]) / f(2) + EPS)
+        for j in range(1, i):
+            if nl2(center[0] - f(px[j]), center[1] - f(py[j])) < radius:
+                continue
+            nc, nr = third_point(i, j)
+            if nr > 0:
+                radius, center = nr, nc
+        return center, radius
+
+    center = (f((px[0] + px[1]) / 2), f((py[0] + py[1]) / 2))
+    radius = f(nl2(px[0] - px[1], py[0] - py[1]) / f(2) + EPS)
+    for i in range(2, n):
+        if nl2(f(px[i]) - center[0], f(py[i]) - center[1]) < radius:
+            continue
+        nc, nr = second_point(i)
+        if nr > 0:
+            radius, center = nr, nc
+    return float(2.0 * radius)
 
 
 def circle_features(hc, cfg):
+    from .. import native
     n = len(hc.recs)
     out = {k: np.zeros(n) for k in ("DIAMETER_MIN_ENCLOSING_CIRCLE",
                                     "DIAMETER_INSCRIBING_CIRCLE",
                                     "DIAMETER_CIRCUMSCRIBING_CIRCLE")}
     cenx = hc.get_feature("CENTROID_X")
     ceny = hc.get_feature("CENTROID_Y")
+    gpts = []
     for i, r in enumerate(hc.recs):
         K = hc.contours[i]
         if K is None or K.shape[0] == 0:
+            gpts.append(None)
             continue
         # contour coords -> global (+1 shift retained, reference frame)
         pts = K[:, :2].astype(np.float64)
         pts[:, 0] += r.x0
         pts[:, 1] += r.y0
-        c = _min_enclosing_circle(pts)
-        out["DIAMETER_MIN_ENCLOSING_CIRCLE"][i] = 2 * c[1] if c else 0.0
-        # inscribing/circumscribing: distances to centroid-1 (circle.cpp:?)
+        gpts.append(pts)
+        # inscribing/circumscribing: distances to centroid-1
+        # (circle.cpp:219-244)
         dx = pts[:, 0] - (cenx[i] - 1)
         dy = pts[:, 1] - (ceny[i] - 1)
         d = np.sqrt(dx * dx + dy * dy)
         out["DIAMETER_INSCRIBING_CIRCLE"][i] = 2 * d.min()
         out["DIAMETER_CIRCUMSCRIBING_CIRCLE"][i] = 2 * d.max()
+    if native.available():
+        out["DIAMETER_MIN_ENCLOSING_CIRCLE"] = \
+            native.min_enclosing_circles(gpts)
+    else:
+        for i, pts in enumerate(gpts):
+            if pts is not None:
+                out["DIAMETER_MIN_ENCLOSING_CIRCLE"][i] = \
+                    _min_enclosing_circle_diam_py(pts[:, 0], pts[:, 1])
     return out
 
 

@@ -184,9 +184,10 @@ def chords_loop(hc, cfg):
         AC, ACang, MC, MCang = [], [], [], []
         ang = 0.0
         while ang < math.pi:
-            # reference: float theta parameter (rotation.h:36)
+            # reference: float theta parameter + FLOAT-overload trig
             ang32 = float(np.float32(ang))
-            s, c = math.sin(ang32), math.cos(ang32)
+            s = float(np.float32(math.sin(ang32)))
+            c = float(np.float32(math.cos(ang32)))
             # rotate_cloud + Pixel2(float) truncation toward zero
             xr = ((gx - cenx) * c - (gy - ceny) * s + cenx).astype(np.float32)
             yr = ((gy - ceny) * c + (gx - cenx) * s + ceny).astype(np.float32)

@@ -85,7 +85,13 @@ def hc():
 def _assert_equal_dicts(got, want):
     assert set(got) == set(want)
     for k in want:
-        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+        if k.endswith(("_MEAN", "_STDDEV")):
+            # the native path accumulates sequentially like the reference;
+            # numpy's pairwise summation differs in the last bit
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-12,
+                                       atol=1e-12, err_msg=k)
+        else:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
 def test_chords_parity(hc):
