@@ -120,6 +120,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.nyx_contours_batch.restype = None
+        lib.nyx_contours_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int]
         lib.nyx_contour.restype = ctypes.c_int
         lib.nyx_contour.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -456,3 +461,33 @@ def min_enclosing_circles(contours):
         off.ctypes.data_as(ctypes.c_void_p), n,
         out.ctypes.data_as(ctypes.c_void_p), _n_threads())
     return out
+
+
+def contours_batch(labels_img, intens_img, recs):
+    """Merged multicontours of every ROI of a resident slide in one call.
+
+    labels_img: [H, W] int-like; intens_img: [H, W] numeric; recs: iterable
+    of RoiRecord-likes (label, y0, x0, height, width).  Returns a list of
+    [K, 3] int64 (x, y, inten) arrays in +1-shifted local coordinates."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    labels_img = np.ascontiguousarray(labels_img, np.int32)
+    intens_img = np.ascontiguousarray(intens_img, np.int64)
+    H, W = labels_img.shape
+    n = len(recs)
+    rmat = np.zeros((n, 5), np.int64)
+    caps = np.zeros(n + 1, np.int64)
+    for i, r in enumerate(recs):
+        rmat[i] = (r.label, r.y0, r.x0, r.height, r.width)
+        caps[i + 1] = caps[i] + r.height * r.width + 16
+    out = np.empty((int(caps[-1]), 3), np.int64)
+    counts = np.zeros(n, np.int64)
+    lib.nyx_contours_batch(
+        labels_img.ctypes.data_as(ctypes.c_void_p),
+        intens_img.ctypes.data_as(ctypes.c_void_p), H, W,
+        rmat.ctypes.data_as(ctypes.c_void_p), n,
+        caps.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p), _n_threads())
+    return [out[caps[i]:caps[i] + counts[i]].copy() for i in range(n)]

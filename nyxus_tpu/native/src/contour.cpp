@@ -8,6 +8,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -366,4 +367,58 @@ extern "C" void nyx_contour_sqdist_approx(const double* px, const double* py,
         if (out_max) out_max[i] = approx_extreme_sqdist(px[i], py[i], cx, cy,
                                                         nc, true);
     }
+}
+
+// ---------------------------------------------------------------------------
+// Batched contour extraction: trace every ROI of a resident labeled slide in
+// one call, fanned over a thread pool.  Replaces the per-ROI Python loop
+// (crop + ctypes call per ROI) that dominated the contour pass.
+//
+// labels: [H, W] int32 slide; intens: [H, W] int64 raw values.
+// recs: [n, 5] int64 (label, y0, x0, h, w) per ROI.
+// caps: [n+1] int64 prefix offsets into out (capacity h*w+16 triples/ROI).
+// out: concatenated (x, y, inten) triples; counts: [n] actual triple count.
+
+extern "C" void nyx_contours_batch(const int32_t* labels,
+                                   const int64_t* intens, long H, long W,
+                                   const int64_t* recs, long n_rois,
+                                   const int64_t* caps, int64_t* out,
+                                   int64_t* counts, int n_threads) {
+    auto worker = [&](long lo, long hi) {
+        std::vector<uint8_t> mask;
+        std::vector<int64_t> crop;
+        for (long r = lo; r < hi; r++) {
+            int64_t lab = recs[r * 5], y0 = recs[r * 5 + 1],
+                    x0 = recs[r * 5 + 2], h = recs[r * 5 + 3],
+                    w = recs[r * 5 + 4];
+            mask.assign((size_t)(h * w), 0);
+            crop.assign((size_t)(h * w), 0);
+            for (long y = 0; y < h; y++) {
+                const int32_t* lrow = labels + (y0 + y) * W + x0;
+                const int64_t* irow = intens + (y0 + y) * W + x0;
+                for (long x = 0; x < w; x++) {
+                    if (lrow[x] == (int32_t)lab) {
+                        mask[(size_t)(y * w + x)] = 1;
+                        crop[(size_t)(y * w + x)] = irow[x];
+                    }
+                }
+            }
+            int cap = (int)(caps[r + 1] - caps[r]);
+            int k = nyx_contour(mask.data(), crop.data(), (int)h, (int)w,
+                                out + caps[r] * 3, cap);
+            counts[r] = k < 0 ? 0 : k;
+        }
+    };
+    if (n_threads <= 1 || n_rois < 4) {
+        worker(0, n_rois);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long chunk = (n_rois + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        long lo = t * chunk, hi = std::min(n_rois, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back(worker, lo, hi);
+    }
+    for (auto& t : ts) t.join();
 }

@@ -91,7 +91,7 @@ def cooc_matrices(orig, levels, angles, offset: int, ng: int, symmetric: bool):
     return M
 
 
-def glcm_features_from_matrix(M, ng: int, noval: float):
+def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
     """All 30 angled GLCM features from count matrices.
 
     M: [B, A, ng, ng] counts (axis -2 = neighbor 'x', axis -1 = center 'y').
@@ -183,7 +183,13 @@ def glcm_features_from_matrix(M, ng: int, noval: float):
     out["GLCM_HOM1"] = jnp.sum(p / (1.0 + absdiff), axis=(-1, -2))
     out["GLCM_HOM2"] = jnp.sum(p / (1.0 + absdiff * absdiff), axis=(-1, -2))
 
-    ng_f = jnp.asarray(float(ng), dt)
+    # Ng used for the IDN/IDMN normalizations: in IBSI mode the reference
+    # sizes Ng by each ROI's own max intensity, which may be smaller than
+    # the (power-of-two padded) static matrix size
+    if ng_val is None:
+        ng_f = jnp.asarray(float(ng), dt)
+    else:
+        ng_f = ng_val.astype(dt).reshape(ng_val.shape + (1,) * (M.ndim - 3))
     out["GLCM_IDMN"] = jnp.sum(pxmy / (1.0 + (k * k) / (ng_f * ng_f)), axis=-1)
     out["GLCM_ID"] = jnp.sum(pxmy / (1.0 + k), axis=-1)
     out["GLCM_IDN"] = jnp.sum(pxmy / (1.0 + k / ng_f), axis=-1)
@@ -203,14 +209,14 @@ def glcm_features_from_matrix(M, ng: int, noval: float):
 
 
 def glcm_all(orig, levels, vmin, vmax, angles, offset: int, ng: int,
-             symmetric: bool, greyinfo: int, noval: float):
+             symmetric: bool, greyinfo: int, noval: float, ng_val=None):
     """Full GLCM family: angled features + _AVE averages + degenerate gating.
 
     orig: [B, H, W] masked intensities; levels: binned; vmin/vmax: [B].
     Returns dict member -> [B, n_angles] and member_AVE -> [B].
     """
     M = cooc_matrices(orig, levels, angles, offset, ng, symmetric)
-    out = glcm_features_from_matrix(M, ng, noval)
+    out = glcm_features_from_matrix(M, ng, noval, ng_val)
 
     degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)   # [B]
     nv = jnp.asarray(noval, M.dtype)

@@ -74,7 +74,8 @@ def _in_aabb3d(shape, depths, heights, widths):
 
 
 def glcm3d_all(levels, aabb, vmin, vmax, offset: int, ng: int,
-               symmetric: bool, greyinfo: int, noval: float, dtype):
+               symmetric: bool, greyinfo: int, noval: float, dtype,
+               ng_val=None):
     """GLCM over 13 directions. levels: binned [B, D, H, W]; aabb: in-AABB
     mask (defines SimpleCube bounds).  MATLAB mode counts every in-cube voxel
     pair (background participates, 3d_glcm.cpp:?)."""
@@ -101,7 +102,7 @@ def glcm3d_all(levels, aabb, vmin, vmax, offset: int, ng: int,
     if symmetric:
         M = M + jnp.swapaxes(M, -1, -2)
 
-    out = glcm2d.glcm_features_from_matrix(M, ng, noval)
+    out = glcm2d.glcm_features_from_matrix(M, ng, noval, ng_val)
     from . import quant
     degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)
     nv = jnp.asarray(noval, dtype)

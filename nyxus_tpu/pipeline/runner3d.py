@@ -135,9 +135,12 @@ def _f_intensity(ctx, cfg):
 
 def _f_glcm(ctx, cfg):
     gi, ng = _grey(ctx, cfg, "glcm")
+    # in IBSI mode Ng for the IDN/IDMN normalizations is each ROI's own max
+    # intensity, not the (padded) static matrix size
+    ng_val = ctx.vmax if gi == 0 else None
     return t3.glcm3d_all(ctx.levels(gi), ctx.aabb, ctx.vmin, ctx.vmax,
                          cfg.glcm3_offset, ng, gi == 0, gi, cfg.noval,
-                         ctx.intens.dtype)
+                         ctx.intens.dtype, ng_val)
 
 
 def _f_glrlm(ctx, cfg):
@@ -301,7 +304,11 @@ class VolumeRunner:
             ww = jnp.asarray([r.width for r in brecs], jnp.int32)
             static_meta = ()
             if self.cfg.ibsi:
-                static_meta = (("max_int", int(max(r.vmax for r in brecs))),)
+                # volume-level power-of-two ceiling bounds IBSI recompiles
+                # (per-batch maxes churned one compile each; see runner.py)
+                ceil = max(int(smax), 2)
+                ceil = 1 << (ceil - 1).bit_length()
+                static_meta = (("max_int", ceil),)
             batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww)
             if self.mesh is not None:
                 from ..parallel import shard_batch

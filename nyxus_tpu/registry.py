@@ -254,10 +254,12 @@ register("IntensityHistogramFeatures", _ih_family)
 
 def _glcm_family(ctx: BatchContext, cfg: EngineConfig):
     from .ops import glcm as ops_glcm
+    ng_val = None
     if cfg.ibsi:
         greyinfo = 0
         ng = int(ctx.static_meta.get("max_int", 256))
         symmetric = True
+        ng_val = ctx.vmax     # per-ROI Ng (reference sizes by the ROI max)
     else:
         greyinfo = cfg.texture_greydepth("glcm")
         ng = abs(greyinfo)
@@ -265,7 +267,8 @@ def _glcm_family(ctx: BatchContext, cfg: EngineConfig):
     levels = ctx.texture_levels(greyinfo)
     return ops_glcm.glcm_all(
         ctx.masked_intens, levels, ctx.vmin, ctx.vmax,
-        cfg.glcm_angles, cfg.glcm_offset, ng, symmetric, greyinfo, cfg.noval)
+        cfg.glcm_angles, cfg.glcm_offset, ng, symmetric, greyinfo, cfg.noval,
+        ng_val)
 
 
 register("GLCMFeature", _glcm_family)
