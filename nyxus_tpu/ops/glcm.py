@@ -216,6 +216,14 @@ def glcm_all(orig, levels, vmin, vmax, angles, offset: int, ng: int,
     Returns dict member -> [B, n_angles] and member_AVE -> [B].
     """
     M = cooc_matrices(orig, levels, angles, offset, ng, symmetric)
+    return glcm_finalize(M, vmin, vmax, greyinfo, noval, ng_val)
+
+
+def glcm_finalize(M, vmin, vmax, greyinfo: int, noval: float, ng_val=None):
+    """Features + _AVE means + degenerate gating from count matrices
+    M: [B, A, ng, ng].  Shared by the dense path above and the
+    tile-streamed oversized path (pipeline/oversized_tex.py)."""
+    ng = M.shape[-1]
     out = glcm_features_from_matrix(M, ng, noval, ng_val)
 
     degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)   # [B]

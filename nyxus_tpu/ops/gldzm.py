@@ -94,7 +94,18 @@ def gldzm_features(levels, valid, heights, widths, roi_area, vmin, vmax,
     zd = jnp.where(seed, zdist, 0).reshape(B, -1).astype(dtype)
     gnz = zlev > 0          # zones with non-zero grey level count toward Ns
     wz = (seed_f & gnz).astype(dtype)
+    return gldzm_features_from_zones(zlev, zd, wz, roi_area, vmin, vmax,
+                                     noval, dtype, float(H + W + 2))
 
+
+def gldzm_features_from_zones(zlev, zd, wz, roi_area, vmin, vmax,
+                              noval: float, dtype, maxd: float):
+    """The 18 statistics from per-zone (level, min border distance) lists.
+
+    zlev/zd: [B, Z] zone grey level and distance (0 where wz == 0); wz: [B, Z]
+    1.0 at counted zones (non-zero grey); maxd: any constant > max distance
+    (ZDE grouping key stride).  Shared by the dense kernel above and the
+    tile-streamed oversized path (pipeline/oversized_tex.py)."""
     ns = jnp.sum(wz, axis=1)
     s = jnp.maximum(ns, 1)
 
@@ -135,7 +146,6 @@ def gldzm_features(levels, valid, heights, widths, roi_area, vmin, vmax,
     out["GLDZM_ZDV"] = jnp.sum(wz * (zd - zdm[:, None]) ** 2, axis=1) / s
 
     # ZDE over (level, distance) cells
-    maxd = H + W + 2.0
     key = jnp.where(wz > 0, zlev * maxd + zd, inf)
     _, cnt_c, v_c = zones.grouped_run_counts(key)
     zde = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),

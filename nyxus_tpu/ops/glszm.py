@@ -45,7 +45,18 @@ def glszm_features(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
     zlev = jnp.where(seed, levels, 0).reshape(B, -1).astype(dtype)
     zsize = jnp.where(seed, size, 0).reshape(B, -1).astype(dtype)
     w = seed.reshape(B, -1).astype(dtype)
+    return glszm_features_from_zones(zlev, zsize, w, np_pixels, vmin, vmax,
+                                     noval, dtype, float(A + 1))
 
+
+def glszm_features_from_zones(zlev, zsize, w, np_pixels, vmin, vmax,
+                              noval: float, dtype, size_key: float):
+    """The 16 statistics from per-zone (level, size) lists.
+
+    zlev/zsize: [B, Z] zone grey level and pixel count (0 where w == 0);
+    w: [B, Z] 1.0 at real zones; size_key: any constant > max zone size
+    (ZE grouping key stride).  Shared by the dense kernel above and the
+    tile-streamed oversized path (pipeline/oversized_tex.py)."""
     nz = jnp.sum(w, axis=1)                       # sum_p = number of zones
     s = jnp.maximum(nz, 1)
 
@@ -71,21 +82,19 @@ def glszm_features(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
     inf = jnp.asarray(jnp.inf, dtype)
 
     # GLN / GLNN: sum_i si^2 = sum over zones of (zones sharing the level)
-    _, cnt_l, v_l = zones.grouped_run_counts(
-        jnp.where(seed.reshape(B, -1), zlev, inf))
+    _, cnt_l, v_l = zones.grouped_run_counts(jnp.where(w > 0, zlev, inf))
     gln = jnp.sum(jnp.where(v_l, cnt_l, 0).astype(dtype), axis=1)
     out["GLSZM_GLN"] = gln / s
     out["GLSZM_GLNN"] = gln / (s * s)
 
     # SZN / SZNN by zone size
-    _, cnt_s, v_s = zones.grouped_run_counts(
-        jnp.where(seed.reshape(B, -1), zsize, inf))
+    _, cnt_s, v_s = zones.grouped_run_counts(jnp.where(w > 0, zsize, inf))
     szn = jnp.sum(jnp.where(v_s, cnt_s, 0).astype(dtype), axis=1)
     out["GLSZM_SZN"] = szn / s
     out["GLSZM_SZNN"] = szn / (s * s)
 
     # ZE: cells grouped by (level, size); per zone: log2(c/Nz + EPS)/Nz
-    key = jnp.where(seed.reshape(B, -1), zlev * (A + 1.0) + zsize, inf)
+    key = jnp.where(w > 0, zlev * size_key + zsize, inf)
     _, cnt_c, v_c = zones.grouped_run_counts(key)
     ze = -jnp.sum(jnp.where(v_c, fast_log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
                   axis=1) / s

@@ -52,9 +52,15 @@ def ngldm_features(intens, mask, vmin, vmax, n_levels: int, nmax: int,
     oi = (lev_idx[..., None] == jnp.arange(nb, dtype=jnp.int32)).astype(dtype)
     oj = (m_idx[..., None] == jnp.arange(NR, dtype=jnp.int32)).astype(dtype)
     P = jnp.einsum("bpi,bpj,bp->bij", oi, oj, w, preferred_element_type=dtype)
+    return ngldm_features_from_matrix(P, vmin, vmax, noval, dtype)
 
+
+def ngldm_features_from_matrix(P, vmin, vmax, noval: float, dtype):
+    """The 19 statistics from P: [B, nb, 9].  Shared by the dense kernel
+    above and the tile-streamed oversized path."""
     ns = jnp.sum(P, axis=(1, 2))
     s = jnp.maximum(ns, 1)
+    nb = P.shape[1]
     gval = jnp.arange(nb, dtype=dtype)          # grey level VALUES (0-based bins)
     dval = jnp.arange(1, NR + 1, dtype=dtype)   # dependence counts j+1
 

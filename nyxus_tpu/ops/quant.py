@@ -17,9 +17,18 @@ import jax.numpy as jnp
 
 def bin_matlab(x, vmax, n_levels: int):
     """MATLAB-style binning. x: float array; vmax: per-ROI max (broadcastable).
-    Returns int32 levels in 1..n_levels (x == 0 -> 1)."""
+    Returns int32 levels in 1..n_levels (x == 0 -> 1).
+
+    The product is passed through an optimization barrier so XLA cannot fuse
+    ``slope * x + 1`` into an FMA: the reference binary (built without
+    -march=native) rounds the product before the add, and for integer
+    intensities the product lands exactly on bin boundaries often enough
+    that single-rounded FMA flips bins (seen vs both the reference CSV and
+    the numpy-streamed oversized path)."""
+    import jax
     slope = n_levels / jnp.maximum(vmax, 1e-30)
-    y = jnp.floor(slope * x + 1.0).astype(jnp.int32)
+    prod = jax.lax.optimization_barrier(slope * x)
+    y = jnp.floor(prod + 1.0).astype(jnp.int32)
     y = jnp.clip(y, 1, n_levels)
     return jnp.where(x == 0, 1, y)
 

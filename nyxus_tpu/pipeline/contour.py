@@ -217,6 +217,43 @@ def merged_contour(crop_mask, crop_intens):
     return merged_contour_py(crop_mask, crop_intens)
 
 
+def oversized_contour(rec, source, cap_bytes: int = 1 << 30,
+                      block: int = 2048):
+    """Contour of an oversized ROI without materializing its dense crop.
+
+    The mask is assembled as a 1-byte/pixel array by streaming the AABB
+    (16x cheaper than the dense compute crop whose budget overflow made the
+    ROI oversized; reference analog: buildRegularContour_nontriv over a
+    file-backed mask, contour.cpp).  The trace runs with a zero intensity
+    plane (lazy zero pages; the tracer only tests mask membership), then
+    contour-pixel intensities are fetched in a second streamed sweep.
+    Returns the merged contour [N, 3] (local +1 coords) or None when even
+    the byte mask would exceed ``cap_bytes``."""
+    H, W = rec.height, rec.width
+    if H * W > cap_bytes:
+        return None
+    mask = np.zeros((H, W), bool)
+    for by in range(rec.y0, rec.y1 + 1, block):
+        bh = min(block, rec.y1 + 1 - by)
+        _, ll = source.read_pair(by, rec.x0, bh, W)
+        mask[by - rec.y0:by - rec.y0 + bh] = ll == rec.label
+    K = merged_contour(mask, np.zeros((H, W), np.int64))
+    del mask
+    if K.shape[0] == 0:
+        return K
+    K = K.copy()
+    ys = K[:, 1] - 1          # AABB-local row of each contour pixel
+    xs = K[:, 0] - 1
+    for by in range(rec.y0, rec.y1 + 1, block):
+        bh = min(block, rec.y1 + 1 - by)
+        sel = (ys >= by - rec.y0) & (ys < by - rec.y0 + bh)
+        if not sel.any():
+            continue
+        ii, _ = source.read_pair(by, rec.x0, bh, W)
+        K[sel, 2] = ii[ys[sel] - (by - rec.y0), xs[sel]].astype(np.int64)
+    return K
+
+
 def merged_contour_py(crop_mask, crop_intens):
     loops = build_multicontour(crop_mask, crop_intens)
     if not loops:

@@ -236,7 +236,8 @@ def moments_members(acc: OversizedAccums):
     return out
 
 
-def basic_morphology_members(rec, acc: OversizedAccums, compactness: float):
+def basic_morphology_members(rec, acc: OversizedAccums, compactness: float,
+                             cfg=None):
     S, Si = acc.S_shape, acc.S_int
     n = float(acc.area)
     cx = S[1, 0] / n + rec.x0
@@ -252,7 +253,7 @@ def basic_morphology_members(rec, acc: OversizedAccums, compactness: float):
     h, w = float(rec.height), float(rec.width)
     return {
         "AREA_PIXELS_COUNT": n,
-        "AREA_UM2": -0.0,
+        "AREA_UM2": -0.0,   # reference leaves XYRES unset (ops/morphology.py)
         "DIAMETER_EQUAL_AREA": 2.0 * math.sqrt(n / math.pi),
         "BBOX_XMIN": float(rec.x0),
         "BBOX_YMIN": float(rec.y0),
@@ -299,10 +300,242 @@ def ellipse_members(acc: OversizedAccums):
     }
 
 
+# texture families served by the tile-streamed matrix accumulators
+# (pipeline/oversized_tex.py; reference analog: per-feature osized_calculate
+# over OutOfRamPixelCloud, phase3.cpp:94-114)
+TEX_FAMILIES = ("GLCMFeature", "GLRLMFeature", "GLSZMFeature", "GLDZMFeature",
+                "GLDMFeature", "NGLDMfeature", "NGTDMFeature")
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
+    """Streamed texture pass: one top-down strip sweep feeding all wanted
+    accumulators (+ one bottom-up sweep for GLDZM), then the SAME jitted
+    feature kernels as the trivial path.  Returns {family: {member: value}}."""
+    import jax.numpy as jnp
+
+    from . import oversized_tex as ot
+
+    want = [f for f in families if f in TEX_FAMILIES]
+    if not want:
+        return {}
+
+    W = rec.width
+    H = rec.height
+    dt = jnp.float64
+
+    if cfg.ibsi:
+        ceil = max(int(slide_max), 2)
+        ng_ibsi = 1 << (ceil - 1).bit_length()
+
+    def setup(family):
+        """(greyinfo, ng) mirroring registry._texture_setup."""
+        if cfg.ibsi:
+            return 0, ng_ibsi
+        g = cfg.texture_greydepth(family)
+        return g, abs(g)
+
+    accs = {}
+    greyinfos = {}
+    if "GLCMFeature" in want:
+        g, ng = setup("glcm")
+        greyinfos["glcm"] = g
+        accs["glcm"] = ot.GlcmAccum(cfg.glcm_angles, cfg.glcm_offset, ng)
+    if "GLRLMFeature" in want:
+        g, ng = setup("glrlm")
+        greyinfos["glrlm"] = g
+        accs["glrlm"] = ot.RunAccum(ng, W)
+    if "GLSZMFeature" in want:
+        g, ng = setup("glszm")
+        greyinfos["glszm"] = g
+        accs["glszm"] = ot.SzAccum(W)
+    if "GLDZMFeature" in want:
+        g, ng = setup("gldzm")
+        greyinfos["gldzm"] = g
+        accs["gldzm"] = ot.DzAccum(W)
+        accs["gldzm_b"] = ot.DzAccum(W)
+    need_ngtdm = "NGTDMFeature" in want
+    need_gldm = "GLDMFeature" in want
+    need_ngldm = "NGLDMfeature" in want
+    if need_ngtdm or need_gldm or need_ngldm:
+        # NGTDM and GLDM share greyinfo semantics; a per-family override that
+        # differs would need separate accumulators -- use each family's own
+        g_ngtdm, ng_ngtdm = setup("ngtdm") if need_ngtdm else (0, 1)
+        g_gldm, ng_gldm = setup("gldm") if need_gldm else (0, 1)
+        if need_ngtdm:
+            greyinfos["ngtdm"] = g_ngtdm
+        if need_gldm:
+            greyinfos["gldm"] = g_gldm
+        if need_ngtdm and need_gldm and g_ngtdm != g_gldm:
+            raise NotImplementedError(
+                "oversized path: differing ngtdm/gldm grey depths")
+        ng_shared = max(ng_ngtdm, ng_gldm)
+        nb_ngldm = ng_ibsi if cfg.ibsi else abs(cfg.coarse_gray_depth)
+        accs["neigh"] = ot.NeighborhoodAccum(ng_shared, nb_ngldm, need_ngtdm,
+                                             need_gldm, need_ngldm)
+
+    n_nonzero = 0           # Np: original-intensity-nonzero pixel count
+    maxlev_ngtdm = 0
+
+    def levels_for(orig, g):
+        return ot.bin_levels_np(orig, rec.vmin, rec.vmax, g)
+
+    def sweep(top_down: bool):
+        nonlocal n_nonzero, maxlev_ngtdm
+        lev_cache_keys = sorted(set(greyinfos.values()))
+        y_blocks = list(range(rec.y0, rec.y1 + 1, block))
+        if not top_down:
+            y_blocks = y_blocks[::-1]
+        for by in y_blocks:
+            bh = min(block, rec.y1 + 1 - by)
+            ii, ll = source.read_pair(by, rec.x0, bh, W)
+            m = ll == rec.label
+            orig = np.where(m, ii, 0.0)
+            levs = {g: levels_for(orig, g) for g in lev_cache_keys}
+            if not top_down:
+                # GLDZM backward half-pass only
+                g = greyinfos["gldzm"]
+                lv = levs[g]
+                valid = np.ones(W, bool) if g > 0 else None
+                for r in range(bh - 1, -1, -1):
+                    vrow = valid if valid is not None else (lv[r] > 0)
+                    accs["gldzm_b"].feed_row(lv[r], vrow, by + r - rec.y0)
+                continue
+
+            n_nonzero += int((orig > 0).sum())
+            if "glcm" in accs:
+                accs["glcm"].feed(orig, levs[greyinfos["glcm"]])
+            if need_ngldm:
+                if cfg.ibsi:
+                    nglev = np.where(m, ii.astype(np.int64), -1)
+                else:
+                    n = abs(cfg.coarse_gray_depth)
+                    nglev = np.where(
+                        m, (ii * n / max(rec.vmax, 1e-30)).astype(np.int64),
+                        -1)
+            else:
+                nglev = np.full((bh, W), -1, np.int64)
+            for r in range(bh):
+                if "glrlm" in accs:
+                    g = greyinfos["glrlm"]
+                    lv = levs[g][r]
+                    vrow = np.ones(W, bool) if g > 0 else lv > 0
+                    accs["glrlm"].feed_row(lv, vrow)
+                if "glszm" in accs:
+                    g = greyinfos["glszm"]
+                    lv = levs[g][r]
+                    vrow = np.ones(W, bool) if g > 0 else lv > 0
+                    accs["glszm"].feed_row(lv, vrow)
+                if "gldzm" in accs:
+                    g = greyinfos["gldzm"]
+                    lv = levs[g][r]
+                    vrow = np.ones(W, bool) if g > 0 else lv > 0
+                    accs["gldzm"].feed_row(lv, vrow, by + r - rec.y0)
+                if "neigh" in accs:
+                    fam = "ngtdm" if need_ngtdm else "gldm"
+                    g = greyinfos[fam]
+                    lv = levs[g][r]
+                    vrow = np.ones(W, bool) if g > 0 else lv > 0
+                    if need_ngtdm:
+                        mx = int(np.where(vrow, lv, 0).max()) if vrow.any() else 0
+                        maxlev_ngtdm = max(maxlev_ngtdm, mx)
+                    accs["neigh"].feed_row(orig[r], lv, vrow, nglev[r])
+
+    sweep(top_down=True)
+    if "gldzm" in accs:
+        sweep(top_down=False)
+
+    vmin_a = jnp.asarray([rec.vmin], dt)
+    vmax_a = jnp.asarray([rec.vmax], dt)
+    out = {}
+
+    if "glcm" in accs:
+        from ..ops import glcm as ops_glcm
+        g = greyinfos["glcm"]
+        M = jnp.asarray(accs["glcm"].finish(symmetric=cfg.ibsi), dt)
+        ng_val = vmax_a if cfg.ibsi else None
+        res = ops_glcm.glcm_finalize(M, vmin_a, vmax_a, g, cfg.noval, ng_val)
+        out["GLCMFeature"] = {k: np.asarray(v)[0] for k, v in res.items()}
+
+    if "glrlm" in accs:
+        from ..ops import glrlm as ops_glrlm
+        P = accs["glrlm"].finish()
+        nr = _pow2(P.shape[-1])
+        P = np.pad(P, ((0, 0), (0, 0), (0, 0), (0, nr - P.shape[-1])))
+        res = ops_glrlm.glrlm_features(
+            jnp.asarray(P, dt), jnp.asarray([n_nonzero], jnp.int64),
+            vmin_a, vmax_a, cfg.noval, dt)
+        out["GLRLMFeature"] = {k: np.asarray(v)[0] for k, v in res.items()}
+
+    if "glszm" in accs:
+        from ..ops import glszm as ops_glszm
+        g = greyinfos["glszm"]
+        zlev, zsize, w = accs["glszm"].finish()
+        Z = _pow2(zlev.shape[1])
+        pad = ((0, 0), (0, Z - zlev.shape[1]))
+        np_pixels = H * W if g > 0 else n_nonzero
+        res = ops_glszm.glszm_features_from_zones(
+            jnp.asarray(np.pad(zlev, pad), dt),
+            jnp.asarray(np.pad(zsize, pad), dt),
+            jnp.asarray(np.pad(w, pad), dt),
+            jnp.asarray([np_pixels], jnp.int64), vmin_a, vmax_a,
+            cfg.noval, dt, float(H) * float(W) + 1.0)
+        out["GLSZMFeature"] = {k: float(np.asarray(v)[0])
+                               for k, v in res.items()}
+
+    if "gldzm" in accs:
+        from ..ops import gldzm as ops_gldzm
+        zlev, zd, wz = ot.join_dz(accs["gldzm"].finish(),
+                                  accs["gldzm_b"].finish())
+        Z = _pow2(zlev.shape[1])
+        pad = ((0, 0), (0, Z - zlev.shape[1]))
+        res = ops_gldzm.gldzm_features_from_zones(
+            jnp.asarray(np.pad(zlev, pad), dt),
+            jnp.asarray(np.pad(zd, pad), dt),
+            jnp.asarray(np.pad(wz, pad), dt),
+            jnp.asarray([rec.area], jnp.int64), vmin_a, vmax_a,
+            cfg.noval, dt, float(H + W + 2))
+        out["GLDZMFeature"] = {k: float(np.asarray(v)[0])
+                               for k, v in res.items()}
+
+    if "neigh" in accs:
+        acc = accs["neigh"]
+        acc.finish()        # process the AABB's last rows as centers
+        if need_ngtdm:
+            from ..ops import ngtdm as ops_ngtdm
+            res = ops_ngtdm.ngtdm_stats(
+                jnp.asarray(acc.N[None], dt), jnp.asarray(acc.S[None], dt),
+                jnp.asarray(acc.present[None]),
+                jnp.asarray([[[maxlev_ngtdm]]], jnp.int32),
+                jnp.asarray([[[True]]]), cfg.noval, dt, ibsi=cfg.ibsi)
+            out["NGTDMFeature"] = {k: float(np.asarray(v)[0])
+                                   for k, v in res.items()}
+        if need_gldm:
+            from ..ops import gldm as ops_gldm
+            res = ops_gldm.gldm_features(jnp.asarray(acc.P_gldm[None], dt),
+                                         vmin_a, vmax_a, cfg.noval)
+            out["GLDMFeature"] = {k: float(np.asarray(v)[0])
+                                  for k, v in res.items()}
+        if need_ngldm:
+            from ..ops import ngldm as ops_ngldm
+            res = ops_ngldm.ngldm_features_from_matrix(
+                jnp.asarray(acc.P_ngldm[None], dt), vmin_a, vmax_a,
+                cfg.noval, dt)
+            out["NGLDMfeature"] = {k: float(np.asarray(v)[0])
+                                   for k, v in res.items()}
+    return out
+
+
 # which families this path can serve
 STREAMABLE = ("PixelIntensityFeatures", "IntensityHistogramFeatures",
               "BasicMorphologyFeatures", "EllipseFittingFeature",
-              "Imoms2D_feature", "Smoms2D_feature")
+              "Imoms2D_feature", "Smoms2D_feature") + TEX_FAMILIES
 
 
 def process(rec, source, cfg, families, slide_min, slide_max,
@@ -315,8 +548,10 @@ def process(rec, source, cfg, families, slide_min, slide_max,
     acc = accumulate(rec, source, block)
     if acc.area == 0:
         return {}
-    out = {}
-    for fam in want:
+    out = texture_members(rec, source, cfg,
+                          [f for f in want if f in TEX_FAMILIES],
+                          slide_max, block)
+    for fam in [f for f in want if f not in TEX_FAMILIES]:
         if fam == "PixelIntensityFeatures":
             out[fam] = intensity_members(acc, slide_min, slide_max, cfg)
         elif fam == "IntensityHistogramFeatures":
@@ -325,7 +560,7 @@ def process(rec, source, cfg, families, slide_min, slide_max,
             cx = acc.S_shape[1, 0] / acc.area + rec.x0
             cy = acc.S_shape[0, 1] / acc.area + rec.y0
             comp = compactness_pass(rec, source, cx, cy, block)
-            out[fam] = basic_morphology_members(rec, acc, comp)
+            out[fam] = basic_morphology_members(rec, acc, comp, cfg)
         elif fam == "EllipseFittingFeature":
             out[fam] = ellipse_members(acc)
         else:  # moments: one dict covers both prefixes, split by family

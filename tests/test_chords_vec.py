@@ -15,6 +15,8 @@ from oracle_chords_calipers import (caliper_feret_loop, caliper_martin_loop,
 
 
 class _Rec:
+    report_bbox = None
+
     def __init__(self, ys, xs):
         self.y0, self.y1 = int(ys.min()), int(ys.max())
         self.x0, self.x1 = int(xs.min()), int(xs.max())
@@ -25,6 +27,9 @@ class _Rec:
 
 class _HC:
     """Minimal HostContext stand-in: ROIs from a label image."""
+
+    def pixels_ok(self, i):
+        return True
 
     def __init__(self, label_img, intens=None):
         if intens is None:
