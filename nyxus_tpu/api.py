@@ -60,6 +60,9 @@ class ImageQuality:
         cfg = EngineConfig()
         updates = {k2: v for k, v in kwargs.items()
                    if (k2 := _KWARG_MAP.get(k)) is not None and v is not None}
+        # the Python API always calibrates: xyRes = pixelSizeUm =
+        # pixels_per_micron (default 1.0; new_bindings_py.cpp:93)
+        updates["xyres"] = float(updates.get("pixels_per_micron", 1.0))
         self.cfg = cfg.replace(**updates)
         self.fset = tx.parse_feature_request(self.features, imq=True)
         self.header, _ = col.build_header(self.fset, self.cfg)
@@ -124,6 +127,19 @@ class Nyxus:
             updates["gabor_freqs"] = tuple(kwargs["gabor_freqs"])
         if "verbose" in kwargs:
             self.verbosity = kwargs["verbose"]
+        # Python-API calibration: xyRes = pixelSizeUm = pixels_per_micron
+        # (default 1.0, new_bindings_py.cpp:93).  NOTE the reference never
+        # copies xyRes into the Fsettings XYRES slot (env_features.cpp:
+        # 711-737), so micron-gated outputs stay unassigned either way --
+        # see ops/morphology.py AREA_UM2.
+        updates.setdefault("xyres", float(updates.get("pixels_per_micron",
+                                                      1.0)))
+        # every reference entry path narrows anisotropy to C float
+        # (new_bindings_py.cpp:80-82, cli_anisotropy_options.cpp:6-12);
+        # mirror the rounding so AABB scaling arithmetic matches bit-for-bit
+        for k in ("aniso_x", "aniso_y", "aniso_z"):
+            if k in updates:
+                updates[k] = float(np.float32(updates[k]))
         self.cfg = cfg.replace(**updates)
         self.error_message = ""
         # scale-out knobs (net-new vs the reference; SURVEY §2.11):
@@ -251,6 +267,38 @@ class Nyxus:
             raise ValueError("Invalid output type %s. Valid output types are %s."
                              % (output_type, self._valid_output_types))
 
+        if output_type == "pandas":
+            frames = [f for _, _, f in self._iter_directory_frames(
+                intensity_dir, label_dir, file_pattern)]
+            return pd.concat(frames, ignore_index=True) if frames else \
+                self._to_frame("", "", np.zeros(0, np.int64),
+                               np.zeros((0, len(self.header) - 4)))
+        # arrow/parquet: per-slide streamed commits, constant memory over
+        # the dataset (reference: workflow_2d_segmented.cpp:322-352,
+        # arrow_output_stream.h:22-57)
+        from .io import writers
+        w = writers.StreamingArrowWriter(output_type, output_path)
+        wrote = False
+        try:
+            for _, _, frame in self._iter_directory_frames(
+                    intensity_dir, label_dir, file_pattern):
+                w.write(frame)
+                wrote = True
+            if not wrote:
+                w.write(self._to_frame("", "", np.zeros(0, np.int64),
+                                       np.zeros((0, len(self.header) - 4))))
+        finally:
+            w.close()
+        self._arrow_path = w.path
+        return self._arrow_path
+
+    def _iter_directory_frames(self, intensity_dir, label_dir, file_pattern):
+        """Yield (int_path, seg_path, per-slide DataFrame) one pair at a
+        time; the backbone of both the accumulating and the streaming
+        output modes."""
+        import os
+        from .io import dataset as ds
+
         int_files, lab_files, wholeslide = ds.read_2d_dataset(
             intensity_dir, label_dir, file_pattern)
         if self._shard_slides:
@@ -258,40 +306,38 @@ class Nyxus:
             pairs = process_shard(list(zip(int_files, lab_files)))
             int_files = [p[0] for p in pairs]
             lab_files = [p[1] for p in pairs]
-        frames = []
         for ipath, lpath in zip(int_files, lab_files):
             fname = os.path.basename(lpath or ipath)
             labs, values = self._run_pair_file(ipath, lpath, wholeslide,
                                                fname)
             values = _force_finite(values, self.cfg.noval)
-            frames.append(self._to_frame(ipath, lpath, labs, values))
-        df = pd.concat(frames, ignore_index=True) if frames else \
-            self._to_frame("", "", np.zeros(0, np.int64),
-                           np.zeros((0, len(self.header) - 4)))
-        if output_type == "pandas":
-            return df
-        from .io import writers
-        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
-        return self._arrow_path
+            yield ipath, lpath, self._to_frame(ipath, lpath, labs, values)
 
     def featurize_files(self, intensity_files, mask_files, single_roi=False,
                         output_type: str = "pandas", output_path: str = ""):
         """Extract features from explicit file-pair lists
         (reference: nyxus.py:512-558)."""
         import os
-        from .io import readers
-        frames = []
-        for k, ipath in enumerate(intensity_files):
-            lpath = ipath if single_roi else mask_files[k]
-            labs, values = self._run_pair_file(ipath, lpath, single_roi,
-                                               os.path.basename(lpath))
-            values = _force_finite(values, self.cfg.noval)
-            frames.append(self._to_frame(ipath, lpath, labs, values))
-        df = pd.concat(frames, ignore_index=True)
+
+        def gen():
+            for k, ipath in enumerate(intensity_files):
+                lpath = ipath if single_roi else mask_files[k]
+                labs, values = self._run_pair_file(ipath, lpath, single_roi,
+                                                   os.path.basename(lpath))
+                values = _force_finite(values, self.cfg.noval)
+                yield self._to_frame(ipath, lpath, labs, values)
+
         if output_type == "pandas":
-            return df
+            return pd.concat(list(gen()), ignore_index=True)
+        # streamed per-slide commits (arrow_output_stream.h:22-57)
         from .io import writers
-        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        w = writers.StreamingArrowWriter(output_type, output_path)
+        try:
+            for frame in gen():
+                w.write(frame)
+        finally:
+            w.close()
+        self._arrow_path = w.path
         return self._arrow_path
 
     def _run_pair_file(self, ipath, lpath, wholeslide, fname):
@@ -465,6 +511,19 @@ class Nyxus3D:
             updates["aniso_z"] = kwargs["anisotropy_z"]
         if "verbose" in kwargs:
             self.verbosity = kwargs["verbose"]
+        # Python-API calibration: xyRes = pixelSizeUm = pixels_per_micron
+        # (default 1.0, new_bindings_py.cpp:93).  NOTE the reference never
+        # copies xyRes into the Fsettings XYRES slot (env_features.cpp:
+        # 711-737), so micron-gated outputs stay unassigned either way --
+        # see ops/morphology.py AREA_UM2.
+        updates.setdefault("xyres", float(updates.get("pixels_per_micron",
+                                                      1.0)))
+        # every reference entry path narrows anisotropy to C float
+        # (new_bindings_py.cpp:80-82, cli_anisotropy_options.cpp:6-12);
+        # mirror the rounding so AABB scaling arithmetic matches bit-for-bit
+        for k in ("aniso_x", "aniso_y", "aniso_z"):
+            if k in updates:
+                updates[k] = float(np.float32(updates[k]))
         self.cfg = cfg.replace(**updates)
         self.error_message = ""
         self._n_devices = kwargs.get("n_devices", 1)

@@ -167,10 +167,16 @@ def main(argv=None):
             gabor_thetas=[float(v) for v in args.gabortheta.split(",")],
             gabor_freqs=[float(v) for v in args.gaborfreqs.split(",")],
             **common)
+    # CLI calibration: xyRes from --pixelsPerCentimeter (default 0 =
+    # uncalibrated, AREA_UM2 unassigned); pixelSizeUm = 1e4 / xyRes
+    # (environment.cpp:898-904) -- overrides the Python-API default of 1.0
+    ppcm = args.pixelsPerCentimeter
     nyx.cfg = nyx.cfg.replace(
         glcm_angles=tuple(int(v) for v in args.glcmAngles.split(",")),
         glcm_offset=args.glcmOff,
-        noval=args.noval, tinyval=args.tinyval)
+        noval=args.noval, tinyval=args.tinyval,
+        xyres=ppcm if ppcm > 0 else 0.0,
+        pixels_per_micron=(1e4 / ppcm) if ppcm > 0 else 1.0)
     nyx._compile()
     if args.skiproi and hasattr(nyx, "blacklist_roi"):
         nyx.blacklist_roi(args.skiproi)
@@ -183,6 +189,42 @@ def main(argv=None):
                                       output_type=args.outputType,
                                       output_path=args.outDir)
         print("wrote", out)
+        return 0
+
+    # per-slide streamed CSV commit (reference:
+    # workflow_2d_segmented.cpp:322-352 saves each slide's rows as it
+    # finishes) -- constant memory over arbitrarily many slides.  The
+    # aggregating / nested / mapping-file modes still need the full frame.
+    needs_frame = (_truthy(args.aggr) or bool(args.intSegMapFile)
+                   or bool(args.hsig and args.hpar and args.hchi)
+                   or args.dim == 3)
+    if not needs_frame and args.outputType in ("singlecsv", "separatecsv"):
+        single = args.outputType == "singlecsv"
+        out = os.path.join(args.outDir, args.resultFname + ".csv")
+        wrote_any = False
+        for ipath, lpath, frame in nyx._iter_directory_frames(
+                args.intDir, args.segDir, args.filePattern):
+            if single:
+                frame.to_csv(out, index=False, mode="a" if wrote_any else "w",
+                             header=not wrote_any)
+            else:
+                base = os.path.splitext(
+                    os.path.basename(lpath or ipath or "wholeslide"))[0]
+                out_i = os.path.join(args.outDir, base + ".csv")
+                frame.to_csv(out_i, index=False)
+                print("wrote", out_i)
+            wrote_any = True
+        if single:
+            if not wrote_any:
+                import pandas as pd
+                pd.DataFrame(columns=nyx.header).to_csv(out, index=False)
+            print("wrote", out)
+        if Stopwatch.enabled():
+            base = os.path.basename(os.path.normpath(args.segDir or "run"))
+            tpath = os.path.join(args.outDir, base + "_nyxustiming.csv")
+            Stopwatch.save_csv(tpath)
+            if args.verbose >= 1:
+                print(Stopwatch.summary())
         return 0
 
     if args.intSegMapFile:

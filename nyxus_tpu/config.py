@@ -67,7 +67,20 @@ class EngineConfig:
     aniso_y: float = 1.0
     aniso_z: float = 1.0
 
+    # physical pixel calibration.  The reference gates micron-unit outputs on
+    # xyRes > 0 (environment.cpp:298, basic_morphology.cpp:23-28); the CLI
+    # sets it via --pixelsPerCentimeter (pixelSizeUm = 1e4 / xyRes,
+    # environment.cpp:904) while the Python API sets BOTH xyRes and
+    # pixelSizeUm to pixels_per_micron (new_bindings_py.cpp:93).
     pixels_per_micron: float = 1.0
+    xyres: float = 0.0
+
+    @property
+    def aniso_customized(self) -> bool:
+        """True when x/y anisotropy is non-default (AnisotropyOptions
+        set_aniso_* near_eq gate, cli_anisotropy_options.h:24-27)."""
+        eps = 1.1920929e-07  # FLT_EPSILON (helpers.h:484-487)
+        return abs(self.aniso_x - 1.0) > eps or abs(self.aniso_y - 1.0) > eps
 
     # compute precision: 'f32' (TPU-native) or 'f64' (validation / CPU)
     precision: str = "f32"

@@ -48,6 +48,12 @@ def histogram_stats(values, n, vmin, vmax, nbins: int, weights=None):
     else:
         w = jnp.where(valid, weights.astype(values.dtype), 0.0)
     rng = vmax - vmin
+    # TrivialHistogram statistics run on its OWN population count (the
+    # raw_pixels sample size, histogram.h:64-80), NOT aux_area.  They only
+    # differ under anisotropy, where raw_pixels hold the resampled virtual
+    # grid but aux_area stays physical (slideprops.cpp:176-193).
+    k = jnp.sum(w, axis=1)
+    ki = k.astype(jnp.int64)
 
     # --- 100-bin percentile histogram (histogram.h:50-62)
     binw = rng / 100.0
@@ -61,7 +67,7 @@ def histogram_stats(values, n, vmin, vmax, nbins: int, weights=None):
     left_edge = vmin[:, None] + binw[:, None] * iarr[None, :]
     pcts = {}
     for p in PERCENTS:
-        cnt = n.astype(values.dtype) * p
+        cnt = k * p
         cond = (run <= cnt[:, None]) & (cnt[:, None] <= run + bins100)
         cand = (cnt[:, None] - run) * binw[:, None] / bins100 + left_edge
         pcts[p] = last_true_value(cond, cand, 0.0)
@@ -71,12 +77,12 @@ def histogram_stats(values, n, vmin, vmax, nbins: int, weights=None):
     idxc = jnp.clip(pi.astype(jnp.int32), 0, nbins - 1)  # fold top bin
     hist = masked_bincount(idxc, w, nbins)               # [B, nbins]
 
-    p_ = hist / jnp.maximum(n[:, None].astype(values.dtype), 1)
+    p_ = hist / jnp.maximum(k[:, None], 1)
     entropy = -jnp.sum(p_ * jnp.log2(p_ + 2.2e-16), axis=1)
     uniformity = jnp.sum(p_ * p_, axis=1)
 
     # --- exact median over the sorted sample (histogram.h:353-373)
-    half = n // 2
+    half = ki // 2
     if weights is None:
         v_hi = take_per_row(values, jnp.clip(half, 0, A - 1).astype(jnp.int32))
         v_lo = take_per_row(values,
@@ -93,7 +99,7 @@ def histogram_stats(values, n, vmin, vmax, nbins: int, weights=None):
 
         v_hi = v_at(half)
         v_lo = v_at(half - 1)
-    median = jnp.where(n % 2 != 0, v_hi, (v_lo + v_hi) / 2.0)
+    median = jnp.where(ki % 2 != 0, v_hi, (v_lo + v_hi) / 2.0)
 
     # --- mode: smallest most-frequent value (histogram.h:375-395)
     if weights is None:
@@ -162,9 +168,7 @@ def pixel_intensity_features(values, n, vmin, vmax, slide_range, nbins: int,
     d = jnp.where(valid, values - mean[:, None], 0)
     mad = jnp.sum(wts * jnp.abs(d), axis=1) / jnp.maximum(nf, 1)
     m2 = jnp.sum(wts * d * d, axis=1)
-    m3 = jnp.sum(wts * d * d * d, axis=1)
     d2 = d * d
-    m4 = jnp.sum(wts * d2 * d2, axis=1)
     m5 = jnp.sum(wts * d2 * d2 * d, axis=1)
     m6 = jnp.sum(wts * d2 * d2 * d2, axis=1)
 
@@ -175,13 +179,24 @@ def pixel_intensity_features(values, n, vmin, vmax, slide_range, nbins: int,
 
     # powers via multiplies + sqrt (exactly-rounded ops; XLA pow = exp*log
     # would cost ~1e-8 relative error)
-    m2_15 = m2 * jnp.sqrt(m2)
     sd2 = sd * sd
     sd5 = sd2 * sd2 * sd
     sd6 = sd2 * sd2 * sd2
-    skew = jnp.where((n > 3) & (m2 != 0), jnp.sqrt(nf) * m3 / jnp.where(m2 != 0, m2_15, 1), 0.0)
-    kurt = jnp.where((n > 4) & (m2 != 0), nf * m4 / jnp.where(m2 != 0, m2 * m2, 1), 0.0)
-    exkurt = jnp.where((n > 4) & (m2 != 0), kurt - 3.0, 0.0)
+    # SKEWNESS/KURTOSIS: Moments4 accumulates over raw_pixels with its OWN
+    # count and mean (intensity.cpp:199-208, moments.h:83-118) -- under
+    # anisotropy that is the virtual sample (k), not aux_area (n)
+    kf = jnp.sum(wts, axis=1)
+    mean_k = safe_div(sum_v, kf)
+    dk = jnp.where(valid, values - mean_k[:, None], 0)
+    m2k = jnp.sum(wts * dk * dk, axis=1)
+    m3k = jnp.sum(wts * dk * dk * dk, axis=1)
+    m4k = jnp.sum(wts * (dk * dk) * (dk * dk), axis=1)
+    m2k_15 = m2k * jnp.sqrt(m2k)
+    skew = jnp.where((kf > 3) & (m2k != 0),
+                     jnp.sqrt(kf) * m3k / jnp.where(m2k != 0, m2k_15, 1), 0.0)
+    kurt = jnp.where((kf > 4) & (m2k != 0),
+                     kf * m4k / jnp.where(m2k != 0, m2k * m2k, 1), 0.0)
+    exkurt = jnp.where((kf > 4) & (m2k != 0), kurt - 3.0, 0.0)
     hskew = safe_div(m5, nf * sd5)
     hflat = safe_div(m6, nf * sd6)
 

@@ -34,13 +34,17 @@ def basic_morphology(ctx, cfg):
     cx = sum_x / n
     cy = sum_y / n
 
-    # COMPACTNESS = Moments2(dist to centroid).std / n (unbiased, n>2 else 0)
+    # COMPACTNESS = Moments2(dist to centroid).std / n: the Moments2 object
+    # counts the FED pixels (k = raw_pixels.size(), moments.h:14-39) while
+    # the final division uses aux_area n (basic_morphology.cpp:50-58);
+    # k != n only under anisotropy (virtual resampling)
+    k = jnp.sum(w, axis=(1, 2))
     dx = jnp.where(m, xs - cx[:, None, None], 0)
     dy = jnp.where(m, ys - cy[:, None, None], 0)
     dist = jnp.sqrt(dx * dx + dy * dy)
-    dmean = jnp.sum(jnp.where(m, dist, 0), axis=(1, 2)) / n
+    dmean = jnp.sum(jnp.where(m, dist, 0), axis=(1, 2)) / jnp.maximum(k, 1)
     m2 = jnp.sum(jnp.where(m, (dist - dmean[:, None, None]) ** 2, 0), axis=(1, 2))
-    dstd = jnp.where(ctx.area > 2, jnp.sqrt(m2 / jnp.maximum(n - 1, 1)), 0.0)
+    dstd = jnp.where(k > 2, jnp.sqrt(m2 / jnp.maximum(k - 1, 1)), 0.0)
     compactness = dstd / n
 
     inten = ctx.masked_intens
@@ -56,7 +60,6 @@ def basic_morphology(ctx, cfg):
 
     out = {
         "AREA_PIXELS_COUNT": n,
-        "AREA_UM2": jnp.zeros_like(n),  # set only when xyres > 0 (unset: -0.0)
         "DIAMETER_EQUAL_AREA": 2.0 * jnp.sqrt(n / math.pi),
         "BBOX_XMIN": ctx.x0.astype(dt),
         "BBOX_YMIN": ctx.y0.astype(dt),
@@ -71,8 +74,13 @@ def basic_morphology(ctx, cfg):
         "EXTENT": n / (hw * ww),
         "ASPECT_RATIO": ww / hw,
     }
-    # AREA_UM2 only when pixels_per_micron configured away from default?
-    # reference gates on xyres > 0 (set via --pixelsPerCentimeter); keep -0.0
+    # AREA_UM2: basic_morphology.cpp:23-28 gates on the Fsettings XYRES slot,
+    # but Environment::refresh_feature_settings (env_features.cpp:711-737)
+    # never populates that slot -- only PIXELSIZEUM -- so the reference
+    # binary emits the fvals default 0 for every ROI regardless of
+    # --pixelsPerCentimeter / pixels_per_micron (pinned by
+    # tests/data/ref_aniso_320x320_seed11.csv.gz, generated with
+    # --pixelsPerCentimeter=5000).  Mirror that: always unassigned.
     out["AREA_UM2"] = jnp.full_like(n, -0.0)
     return out
 
@@ -88,9 +96,12 @@ def ellipse_fitting(ctx, cfg):
 
     dx = jnp.where(m, cx[:, None, None] - xs, 0)
     dy = jnp.where(m, cy[:, None, None] - ys, 0)
-    uxx = jnp.sum(dx * dx, axis=(1, 2)) / n + 1.0 / 12.0
-    uyy = jnp.sum(dy * dy, axis=(1, 2)) / n + 1.0 / 12.0
-    uxy = jnp.sum(dx * dy, axis=(1, 2)) / n
+    # second moments normalize by the FED pixel count k = raw_pixels.size()
+    # (ellipse_fitting.cpp:47-50), around the aux_area-based centroid
+    k = jnp.maximum(jnp.sum(m.astype(dt), axis=(1, 2)), 1)
+    uxx = jnp.sum(dx * dx, axis=(1, 2)) / k + 1.0 / 12.0
+    uyy = jnp.sum(dy * dy, axis=(1, 2)) / k + 1.0 / 12.0
+    uxy = jnp.sum(dx * dy, axis=(1, 2)) / k
 
     common = jnp.sqrt((uxx - uyy) ** 2 + 4.0 * uxy * uxy)
     major = 2.0 * jnp.sqrt(2.0) * jnp.sqrt(uxx + uyy + common)

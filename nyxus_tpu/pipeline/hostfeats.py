@@ -86,7 +86,15 @@ def convex_hull_features(hc, cfg):
     out = {k: np.zeros(n) for k in ("CONVEX_HULL_AREA", "SOLIDITY", "CIRCULARITY")}
     perim = hc.get_feature("PERIMETER")
     for i, r in enumerate(hc.recs):
-        ys, xs = hc.roi_points(i)
+        if hc.pixels_ok(i):
+            ys, xs = hc.roi_points(i)
+        else:
+            # oversized ROI: every hull vertex is a boundary pixel, so the
+            # hull of the streamed contour equals the hull of the full
+            # pixel cloud (contour coords carry the reference's +1 shift)
+            K = hc.contours[i]
+            xs = K[:, 0].astype(np.int64) - 1
+            ys = K[:, 1].astype(np.int64) - 1
         # hull in GLOBAL coordinates: the reference's caliper rotations
         # float32-round the rotated GLOBAL vertices (rotation.cpp:66), and
         # float32 rounding is not translation-invariant
@@ -361,13 +369,20 @@ def chords_py(hc, cfg):
                       for a in angs])[:, None]
     aidx_row = np.arange(A)
     for i, r in enumerate(hc.recs):
+        if not hc.pixels_ok(i):
+            continue        # oversized: full pixel sweep unavailable
         ys, xs = hc.roi_points(i)
         if len(xs) == 0:
             continue
         ii_crop, _ = hc.pair_crop(i)
         inten = ii_crop[ys, xs]
-        cenx = (r.x0 + r.x1) / 2.0
-        ceny = (r.y0 + r.y1) / 2.0
+        if r.report_bbox is not None:    # anisotropy: scaled-AABB center
+            ry0, ry1, rx0, rx1 = r.report_bbox
+            cenx = (rx0 + rx1) / 2.0
+            ceny = (ry0 + ry1) / 2.0
+        else:
+            cenx = (r.x0 + r.x1) / 2.0
+            ceny = (r.y0 + r.y1) / 2.0
         gx = (xs + r.x0)[None, :]            # [1, P]
         gy = (ys + r.y0)[None, :]
         # rotate_cloud + Pixel2(float) truncation toward zero
@@ -544,18 +559,35 @@ def chords(hc, cfg):
         return chords_py(hc, cfg)
     points = []
     aabbs = np.zeros((len(hc.recs), 4), np.int64)
+    skipped = []
     for i, r in enumerate(hc.recs):
+        if not hc.pixels_ok(i):     # oversized: full pixel sweep unavailable
+            skipped.append(i)
+            points.append((np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           np.zeros(0, np.float64)))
+            aabbs[i] = (r.x0, r.x1, r.y0, r.y1)
+            continue
         ys, xs = hc.roi_points(i)
         ii_crop, _ = hc.pair_crop(i)
         points.append(((xs + r.x0).astype(np.int64),
                        (ys + r.y0).astype(np.int64),
                        ii_crop[ys, xs].astype(np.float64)))
-        aabbs[i] = (r.x0, r.x1, r.y0, r.y1)
+        if r.report_bbox is not None:
+            # anisotropy: the rotation center is the REPORTED (scaled) AABB
+            # center (chords.cpp:14-15 reads r.aabb), which can be narrower
+            # than the widened crop box
+            ry0, ry1, rx0, rx1 = r.report_bbox
+            aabbs[i] = (rx0, rx1, ry0, ry1)
+        else:
+            aabbs[i] = (r.x0, r.x1, r.y0, r.y1)
     m = native.chords_batch(points, aabbs)
     out = {}
     for j, tag in enumerate(_CHORD_MEMBERS):
         out["MAXCHORDS_" + tag] = m[:, j].copy()
         out["ALLCHORDS_" + tag] = m[:, 8 + j].copy()
+    for i in skipped:
+        for k in out:
+            out[k][i] = -0.0
     return out
 
 
@@ -866,7 +898,7 @@ def hexagonality_features(hc, cfg):
 def _approx_contour_dists(hc, i, want_max=False):
     from .. import native
     K = hc.contours[i]
-    if K is None or K.shape[0] == 0:
+    if K is None or K.shape[0] == 0 or not hc.pixels_ok(i):
         return None, None, None, None
     ys, xs = hc.roi_points(i)
     mind2, maxd2 = native.contour_sqdist_approx(

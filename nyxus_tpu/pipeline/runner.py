@@ -95,14 +95,21 @@ class HostContext:
     Per-ROI pixel access goes through ``pair_crop``/``roi_points`` so the
     same families work for in-memory pairs and streamed file pairs."""
 
-    def __init__(self, recs, contours, source, get_feature):
+    def __init__(self, recs, contours, source, get_feature,
+                 oversized=frozenset()):
         self.recs = recs            # all RoiRecords of the pair
         self.contours = contours    # merged contour per ROI, local +1 coords
         self.source = source        # ArrayPairSource | TiffPairSource
         self.get_feature = get_feature   # display/member name -> np [N]
         self.hulls = [None] * len(recs)  # filled by the convex-hull family
+        self.oversized = oversized  # local indices with NO dense pixel access
         self._points = {}
         self._crops = {}
+
+    def pixels_ok(self, i):
+        """False for oversized rows: pair_crop/roi_points would materialize
+        the whole AABB; pixel-sweep families skip those rows."""
+        return i not in self.oversized
 
     def pair_crop(self, i):
         """(intens [h, w] float64, mask [h, w] bool) over ROI i's exact AABB."""
@@ -192,6 +199,21 @@ class PairRunner:
             label_img = (label_img != 0).astype(np.int64)
         with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
             all_recs, smin, smax = labels.discover_rois(intens, label_img)
+        if self.cfg.aniso_customized:
+            # phase 1 stays physical (aux_* metrics); every later pixel read
+            # sees the NN-resampled virtual slide (phase2_2d.cpp:183-285)
+            ax, ay = self.cfg.aniso_x, self.cfg.aniso_y
+            vH, vW = int(intens.shape[0] * ay), int(intens.shape[1] * ax)
+            pr = np.minimum((np.arange(vH) / ay).astype(np.int64),
+                            intens.shape[0] - 1)
+            pc = np.minimum((np.arange(vW) / ax).astype(np.int64),
+                            intens.shape[1] - 1)
+            intens = np.ascontiguousarray(intens[pr][:, pc])
+            label_img = np.ascontiguousarray(label_img[pr][:, pc])
+            vrecs, _, _ = labels.discover_rois(intens, label_img)
+            nat = {r.label: (r.y0, r.y1, r.x0, r.x1) for r in vrecs}
+            all_recs = [labels.aniso_bbox(r, ax, ay, nat.get(r.label))
+                        for r in all_recs]
         source = ArrayPairSource(intens, label_img)
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=(intens, label_img))
@@ -205,6 +227,14 @@ class PairRunner:
             source = MergedLabelSource(source)
         with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
             all_recs, smin, smax = labels.discover_rois_streamed(source, tile)
+        if self.cfg.aniso_customized:
+            from .sources import AnisoResampledSource
+            ax, ay = self.cfg.aniso_x, self.cfg.aniso_y
+            source = AnisoResampledSource(source, ax, ay)
+            vrecs, _, _ = labels.discover_rois_streamed(source, tile)
+            nat = {r.label: (r.y0, r.y1, r.x0, r.x1) for r in vrecs}
+            all_recs = [labels.aniso_bbox(r, ax, ay, nat.get(r.label))
+                        for r in all_recs]
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=None)
 
@@ -282,6 +312,10 @@ class PairRunner:
                         cm = ll[:r.height, :r.width] == r.label
                         ci = ii[:r.height, :r.width]
                     contours.append(contour_mod.merged_contour(cm, ci))
+            # oversized ROIs: streamed byte-mask trace (no dense crop;
+            # reference phase-3 analog buildRegularContour_nontriv)
+            for i in over_rows:
+                contours[i] = contour_mod.oversized_contour(recs[i], source)
             sw_contour.__exit__()
 
         if resident is not None and batches:
@@ -402,9 +436,22 @@ class PairRunner:
         # device-computed members run HERE, overlapping the (async) device
         # batches; the device-dependent remainder runs after collection
         pre_host, post_host = registry.split_host_families(self.fset)
+        # oversized rows join the host pass when they have a streamed
+        # contour: contour/hull/caliper/circle/geodetic families need only
+        # the contour + already-computed scalars.  Pixel-sweep families
+        # (chords, radius, radial distribution, IMQ) check
+        # hc.pixels_ok(i) and leave those rows unassigned.
+        host_rows = list(triv_rows)
+        if contours is not None:
+            host_rows += [i for i in over_rows
+                          if contours[i] is not None
+                          and contours[i].shape[0] > 0]
+            host_rows.sort()
         hc = None
-        if (pre_host or post_host) and triv_rows:
-            rows = np.asarray(triv_rows)
+        if (pre_host or post_host) and host_rows:
+            rows = np.asarray(host_rows)
+            over_local = frozenset(j for j, i in enumerate(host_rows)
+                                   if i in over_set)
 
             def get_feature(member):
                 code = tx.NAME2CODE_2D.get(member)
@@ -414,16 +461,16 @@ class PairRunner:
                 return values[rows, off]
 
             sub_contours = (None if contours is None else
-                            [contours[i] for i in triv_rows])
-            hc = HostContext([recs[i] for i in triv_rows], sub_contours,
-                             source, get_feature)
+                            [contours[i] for i in host_rows])
+            hc = HostContext([recs[i] for i in host_rows], sub_contours,
+                             source, get_feature, oversized=over_local)
 
         def run_host(names):
             for name in names:
                 fam = registry.FAMILIES[name]
                 with stopwatch("Pipeline/Host/%s/#bbbbbb" % name):
                     members = fam.host_fn(hc, self.cfg)
-                self._scatter(values, triv_rows, {name: members})
+                self._scatter(values, host_rows, {name: members})
 
         if hc is not None:
             run_host(pre_host)
@@ -452,6 +499,24 @@ class PairRunner:
         # members stay unassigned.
         if hc is not None:
             run_host(post_host)
+
+        # anisotropy: BBOX_* report the apply_anisotropy-scaled AABB even
+        # though the crop box was widened to cover out-of-AABB member pixels
+        # (basic_morphology.cpp:33-37 reads r.aabb, not the pixel extent)
+        for j, r in enumerate(recs):
+            if r.report_bbox is None:
+                continue
+            ry0, ry1, rx0, rx1 = r.report_bbox
+            w, h = float(rx1 - rx0 + 1), float(ry1 - ry0 + 1)
+            for member, v in (("BBOX_XMIN", float(rx0)),
+                              ("BBOX_YMIN", float(ry0)),
+                              ("BBOX_WIDTH", w), ("BBOX_HEIGHT", h),
+                              ("EXTENT", r.area / (w * h)),
+                              ("ASPECT_RATIO", w / h)):
+                code = tx.NAME2CODE_2D.get(member)
+                if code in self.member_slots:
+                    off, _ = self.member_slots[code]
+                    values[j, off] = v
 
         if len(recs) != len(all_recs):
             # reinsert blacklisted rows with unassigned values

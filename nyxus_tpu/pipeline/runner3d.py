@@ -46,6 +46,21 @@ class Roi3D:
         return self.x1 - self.x0 + 1
 
 
+def _aniso_bbox3(r: Roi3D, ax: float, ay: float, az: float) -> Roi3D:
+    """3-axis AABB::apply_anisotropy (features/aabb.h:115-134): truncate the
+    mins, truncate the maxes with the one-step round-trip fixup.  area/vmin/
+    vmax keep their physical phase-1 values (aux_* quirk)."""
+    def scale(lo, hi, a):
+        lo2, hi2 = int(lo * a), int(hi * a)
+        if int((hi2 + 1) / a) == hi:
+            hi2 += 1
+        return lo2, hi2
+    x0, x1 = scale(r.x0, r.x1, ax)
+    y0, y1 = scale(r.y0, r.y1, ay)
+    z0, z1 = scale(r.z0, r.z1, az)
+    return Roi3D(r.label, r.area, z0, z1, y0, y1, x0, x1, r.vmin, r.vmax)
+
+
 def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
     D, H, W = labels.shape
     flat = labels.ravel()
@@ -258,6 +273,19 @@ class VolumeRunner:
             # --mergerois: whole nonzero foreground is one ROI
             label_img = (label_img != 0).astype(label_img.dtype)
         recs, smin, smax = discover_rois_3d(intens, label_img)
+        eps = 1.1920929e-07
+        if self.cfg.aniso_customized or abs(self.cfg.aniso_z - 1.0) > eps:
+            # 3D anisotropy: physical phase-1 metrics + NN-resampled virtual
+            # volume (reference: phase1.cpp:220-344 make_anisotropic_aabb,
+            # phase2_3d anisotropic rescan)
+            ax, ay, az = self.cfg.aniso_x, self.cfg.aniso_y, self.cfg.aniso_z
+            recs = [_aniso_bbox3(r, ax, ay, az) for r in recs]
+            D, H, W = intens.shape
+            ps = np.minimum((np.arange(int(D * az)) / az).astype(np.int64), D - 1)
+            pr = np.minimum((np.arange(int(H * ay)) / ay).astype(np.int64), H - 1)
+            pc = np.minimum((np.arange(int(W * ax)) / ax).astype(np.int64), W - 1)
+            intens = np.ascontiguousarray(intens[ps][:, pr][:, :, pc])
+            label_img = np.ascontiguousarray(label_img[ps][:, pr][:, :, pc])
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, np.float64)
         if n == 0:

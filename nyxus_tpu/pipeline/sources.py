@@ -97,6 +97,50 @@ class WholeSlideTiffSource:
         self.close()
 
 
+class AnisoResampledSource:
+    """Nearest-neighbor anisotropic resampling view (x/y scale factors).
+
+    The reference handles custom anisotropy by re-scanning the slide as a
+    "virtual" slide of size (H*ay, W*ax) whose pixel (vr, vc) reads physical
+    pixel (vr/ay, vc/ax) truncated (scanTrivialRois_anisotropic,
+    phase2_2d.cpp:183-285).  This wrapper serves exactly those virtual
+    regions so every downstream consumer (device crops, contours, host
+    families, the oversized path) sees the virtual slide."""
+
+    def __init__(self, inner, ax: float, ay: float):
+        self._inner = inner
+        self.ax, self.ay = float(ax), float(ay)
+        H, W = inner.shape
+        self.shape = (int(H * self.ay), int(W * self.ax))
+        self.int_is_float = getattr(inner, "int_is_float", False)
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        H, W = self._inner.shape
+        vH, vW = self.shape
+        ii = np.zeros((h, w), np.float64)
+        ll = np.zeros((h, w), np.int64)
+        vy1, vx1 = min(y0 + h, vH), min(x0 + w, vW)
+        if vy1 <= y0 or vx1 <= x0:
+            return ii, ll
+        pr = np.minimum((np.arange(y0, vy1) / self.ay).astype(np.int64), H - 1)
+        pc = np.minimum((np.arange(x0, vx1) / self.ax).astype(np.int64), W - 1)
+        pi, pl = self._inner.read_pair(int(pr[0]), int(pc[0]),
+                                       int(pr[-1] - pr[0] + 1),
+                                       int(pc[-1] - pc[0] + 1))
+        ii[:vy1 - y0, :vx1 - x0] = pi[pr - pr[0]][:, pc - pc[0]]
+        ll[:vy1 - y0, :vx1 - x0] = pl[pr - pr[0]][:, pc - pc[0]]
+        return ii, ll
+
+    def close(self):
+        self._inner.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class MergedLabelSource:
     """Adapter implementing --mergerois: every nonzero mask label reads as 1
     (background 0 still excluded), so the whole foreground becomes one ROI

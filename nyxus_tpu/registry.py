@@ -402,8 +402,17 @@ register("EllipseFittingFeature", _ellipse_family)
 
 def _erosion_family(ctx, cfg):
     from .ops import binary
-    return {"EROSIONS_2_VANISH": binary.erosions_to_vanish(
-        ctx.mask, ctx.heights, ctx.widths, ctx.intens.dtype)}
+    import jax.numpy as jnp
+    return {
+        "EROSIONS_2_VANISH": binary.erosions_to_vanish(
+            ctx.mask, ctx.heights, ctx.widths, ctx.intens.dtype),
+        # the reference DECLARES this member (erosion.cpp:16) but its
+        # save_value never writes it (erosion.cpp:196-199), so the binary
+        # emits the fvals default 0.0 for every ROI -- pinned by
+        # tests/data/ref_all_320x320_seed11.csv.gz.  Emit the same constant.
+        "EROSIONS_2_VANISH_COMPLEMENT": jnp.zeros((ctx.B,),
+                                                  ctx.intens.dtype),
+    }
 
 
 register("ErosionPixelsFeature", _erosion_family,
@@ -575,6 +584,8 @@ register("HexagonalityPolygonalityFeature",
 
 def _imq_crop(hc, i):
     import numpy as np
+    if not hc.pixels_ok(i):     # oversized: no dense crop; IMQ unassigned
+        return np.zeros((1, 1))
     ii, m = hc.pair_crop(i)
     return np.where(m, ii, 0)
 
