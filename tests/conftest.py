@@ -50,6 +50,21 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables():
+    """Free compiled executables after each test module.
+
+    A long pytest process accumulates one live XLA:CPU executable per
+    (kernel x shape x config); past ~250 tests the NEXT large compile
+    aborts inside XLA (observed deterministically at whichever big *ALL*
+    compile comes first -- an mmap/code-arena exhaustion, reproducible only
+    with the near-full suite).  Dropping the jit caches between modules
+    keeps the population bounded; the persistent on-disk cache makes
+    re-tracing cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -91,15 +91,104 @@ def test_dicom_featurize(tmp_path):
     assert row.MEAN == pytest.approx(100 + 599 / 2)
 
 
-def test_dicom_rejects_compressed(tmp_path):
-    # fabricate a file claiming a JPEG transfer syntax
-    import struct
+def test_dicom_rejects_unsupported_syntax(tmp_path):
+    # JPEG-LS has no decoder in this environment and must still be rejected
     from nyxus_tpu.io.dicom import _el
-    body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.50")
+    body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
     with open(tmp_path / "bad.dcm", "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + body)
     with pytest.raises(ValueError, match="transfer syntax"):
         read_dicom(str(tmp_path / "bad.dcm"))
+
+
+def _encapsulate(ts: str, frag: bytes, rows: int, cols: int, bits: int,
+                 signed: int = 0) -> bytes:
+    """Minimal encapsulated-PixelData DICOM (explicit LE dataset)."""
+    import struct
+    from nyxus_tpu.io.dicom import _el
+    body = _el(0x0002, 0x0010, b"UI", ts.encode())
+    body += _el(0x0028, 0x0002, b"US", struct.pack("<H", 1))
+    body += _el(0x0028, 0x0004, b"CS", b"MONOCHROME2 ")
+    body += _el(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el(0x0028, 0x0100, b"US", struct.pack("<H", bits))
+    body += _el(0x0028, 0x0103, b"US", struct.pack("<H", signed))
+    if len(frag) % 2:
+        frag += b"\x00"
+    # (7FE0,0010) OB undefined length + empty BOT + one fragment + delimiter
+    body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    body += struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    body += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+    body += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    return b"\x00" * 128 + b"DICM" + body
+
+
+def _rle_encode(img: np.ndarray) -> bytes:
+    """Literal-run RLE frame (PS3.5 G): valid, uncompressed PackBits."""
+    import struct
+    nbytes = img.dtype.itemsize
+    planes = []
+    flat = img.reshape(-1)
+    for b in range(nbytes):          # MSB first
+        shift = 8 * (nbytes - 1 - b)
+        planes.append(((flat >> shift) & 0xFF).astype(np.uint8).tobytes())
+    segs = []
+    for plane in planes:
+        out = bytearray()
+        for i in range(0, len(plane), 128):
+            chunk = plane[i:i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        if len(out) % 2:
+            out.append(0)
+        segs.append(bytes(out))
+    hdr = [len(segs)]
+    off = 64
+    for s in segs:
+        hdr.append(off)
+        off += len(s)
+    hdr += [0] * (16 - len(hdr))
+    return struct.pack("<16I", *hdr) + b"".join(segs)
+
+
+def test_dicom_rle_lossless(tmp_path):
+    r = np.random.default_rng(5)
+    img = r.integers(0, 60000, (37, 23)).astype(np.uint16)
+    raw = _encapsulate("1.2.840.10008.1.2.5", _rle_encode(img), 37, 23, 16)
+    p = tmp_path / "rle.dcm"
+    p.write_bytes(raw)
+    arr, meta = read_dicom(str(p))
+    assert meta["ts"] == "1.2.840.10008.1.2.5"
+    np.testing.assert_array_equal(arr, img)
+
+
+def test_dicom_rle_signed_8bit(tmp_path):
+    r = np.random.default_rng(6)
+    img = r.integers(-100, 100, (16, 16)).astype(np.int8)
+    raw = _encapsulate("1.2.840.10008.1.2.5",
+                       _rle_encode(img.view(np.uint8)), 16, 16, 8, signed=1)
+    p = tmp_path / "rle8.dcm"
+    p.write_bytes(raw)
+    arr, _ = read_dicom(str(p))
+    np.testing.assert_array_equal(arr, img)
+
+
+def test_dicom_jpeg_baseline(tmp_path):
+    import io as _io
+
+    from PIL import Image
+    r = np.random.default_rng(7)
+    # smooth image so lossy JPEG stays close
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (120 + 80 * np.sin(yy / 9.0) * np.cos(xx / 11.0)).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    raw = _encapsulate("1.2.840.10008.1.2.4.50", buf.getvalue(), 48, 64, 8)
+    p = tmp_path / "jpg.dcm"
+    p.write_bytes(raw)
+    arr, _ = read_dicom(str(p))
+    assert arr.shape == (48, 64)
+    assert float(np.abs(arr.astype(float) - img).mean()) < 3.0
 
 
 def test_zarr_3d_featurize(tmp_path):
