@@ -33,7 +33,7 @@ _lib = None
 _build_err = None
 
 _SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp",
-            "contour.cpp", "geomfeats.cpp")
+            "contour.cpp", "geomfeats.cpp", "geomfeats_batch.cpp")
 
 
 def _needs_build() -> bool:
@@ -132,6 +132,20 @@ def _load():
         lib.nyx_convex_hull.restype = ctypes.c_int
         lib.nyx_convex_hull.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.nyx_geom_width.restype = ctypes.c_int
+        lib.nyx_geom_width.argtypes = []
+        lib.nyx_geom_batch.restype = None
+        lib.nyx_geom_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_uint32, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_neighbors_batch.restype = None
+        lib.nyx_neighbors_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -459,6 +473,78 @@ def min_enclosing_circles(contours):
     lib.nyx_min_enclosing_circles(
         px.ctypes.data_as(ctypes.c_void_p), py.ctypes.data_as(ctypes.c_void_p),
         off.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p), _n_threads())
+    return out
+
+
+def geom_batch(clouds, contours, recs_mat, flags, groups, logw_eps=0.0,
+               out=None, want_logw=False, n_threads=None):
+    """One-call batched host-geometry pass (contour stats, fractal perimeter,
+    convex hull features, 3 calipers, chords, ROI radius, radial
+    distribution, weighted-moment log distances) over all ROIs.
+
+    clouds: (gx int64, gy int64, inten float64, offsets int64[n+1]) global
+    raster-order pixel clouds; contours: (flat [K,3] int64, offsets[n+1])
+    merged contours in +1-shifted local coords; recs_mat: [n, 9] int64
+    (x0, x1, y0, y1, rep_x0, rep_x1, rep_y0, rep_y1, area); flags: uint8[n]
+    bit0 has_cloud, bit1 hull_from_contour; groups: bitmask (GEOM_GROUPS in
+    pipeline.hostfeats); out: pre-filled [n, nyx_geom_width] sentinel matrix.
+    Returns (out, logw_flat | None)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    gx, gy, it, coff = clouds
+    ctr, koff = contours
+    n = len(recs_mat)
+    if out is None:
+        out = np.zeros((n, lib.nyx_geom_width()), np.float64)
+    logw = np.zeros(int(coff[-1]), np.float64) if want_logw else None
+    gx = np.ascontiguousarray(gx, np.int64)
+    gy = np.ascontiguousarray(gy, np.int64)
+    it = np.ascontiguousarray(it, np.float64)
+    coff = np.ascontiguousarray(coff, np.int64)
+    ctr = np.ascontiguousarray(ctr, np.int64)
+    koff = np.ascontiguousarray(koff, np.int64)
+    recs_mat = np.ascontiguousarray(recs_mat, np.int64)
+    flags = np.ascontiguousarray(flags, np.uint8)
+    lib.nyx_geom_batch(
+        gx.ctypes.data_as(ctypes.c_void_p), gy.ctypes.data_as(ctypes.c_void_p),
+        it.ctypes.data_as(ctypes.c_void_p),
+        coff.ctypes.data_as(ctypes.c_void_p),
+        ctr.ctypes.data_as(ctypes.c_void_p),
+        koff.ctypes.data_as(ctypes.c_void_p),
+        recs_mat.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p), n, groups, logw_eps,
+        out.ctypes.data_as(ctypes.c_void_p),
+        logw.ctypes.data_as(ctypes.c_void_p) if want_logw else None,
+        n_threads or _n_threads())
+    return out, logw
+
+
+def neighbors_batch(contours_global, aabbs, cenx, ceny, radius):
+    """Cross-ROI neighbor features natively.  contours_global: list of
+    [K, >=2] float arrays (global coords) or None; aabbs [n,4] int64
+    (x0, x1, y0, y1); cenx/ceny float64 [n].  Returns [n, 9] float64."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    n = len(contours_global)
+    kx, koff = _concat_offsets(
+        [c[:, 0] if c is not None else np.zeros(0) for c in contours_global],
+        np.float64)
+    ky, _ = _concat_offsets(
+        [c[:, 1] if c is not None else np.zeros(0) for c in contours_global],
+        np.float64)
+    ab = np.ascontiguousarray(aabbs, np.int64)
+    cenx = np.ascontiguousarray(cenx, np.float64)
+    ceny = np.ascontiguousarray(ceny, np.float64)
+    out = np.zeros((n, 9), np.float64)
+    lib.nyx_neighbors_batch(
+        kx.ctypes.data_as(ctypes.c_void_p), ky.ctypes.data_as(ctypes.c_void_p),
+        koff.ctypes.data_as(ctypes.c_void_p),
+        ab.ctypes.data_as(ctypes.c_void_p),
+        cenx.ctypes.data_as(ctypes.c_void_p),
+        ceny.ctypes.data_as(ctypes.c_void_p), float(radius), n,
         out.ctypes.data_as(ctypes.c_void_p), _n_threads())
     return out
 

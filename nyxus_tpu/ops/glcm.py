@@ -189,7 +189,9 @@ def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
     if ng_val is None:
         ng_f = jnp.asarray(float(ng), dt)
     else:
-        ng_f = ng_val.astype(dt).reshape(ng_val.shape + (1,) * (M.ndim - 3))
+        # [B] -> [B, 1, 1]: broadcasts against pxmy's [B, A, K] (a [B, 1]
+        # shape silently mis-broadcast whenever B == A and errored otherwise)
+        ng_f = ng_val.astype(dt).reshape(ng_val.shape + (1,) * (M.ndim - 2))
     out["GLCM_IDMN"] = jnp.sum(pxmy / (1.0 + (k * k) / (ng_f * ng_f)), axis=-1)
     out["GLCM_ID"] = jnp.sum(pxmy / (1.0 + k), axis=-1)
     out["GLCM_IDN"] = jnp.sum(pxmy / (1.0 + k / ng_f), axis=-1)

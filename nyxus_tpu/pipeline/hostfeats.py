@@ -15,6 +15,113 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
+# batched native geometry pass: ALL contour/hull/caliper/chord/radius/radial
+# host features in ONE threaded native call (native/src/geomfeats_batch.cpp).
+# The per-family numpy implementations below remain as parity oracles and
+# fallbacks when the native library is unavailable.
+
+GEOM_GROUPS = {
+    "ContourFeature": 1 << 0,
+    "FractalDimensionFeature": 1 << 1,
+    "ConvexHullFeature": 1 << 2,
+    "CaliperFeretFeature": 1 << 3,
+    "CaliperMartinFeature": 1 << 4,
+    "CaliperNassensteinFeature": 1 << 5,
+    "ChordsFeature": 1 << 6,
+    "RoiRadiusFeature": 1 << 7,
+    "RadialDistributionFeature": 1 << 8,
+}
+G_LOGW = 1 << 9
+
+# column layout of the [n, 74] geom matrix (mirrors geomfeats_batch.cpp)
+GEOM_W = 74
+_GC_CONTOUR = 0     # PERIM, DIAM_EQ_PERIM, EDGE_MEAN/STD/MAX/MIN/INTEG
+_GC_FRACT = 7
+_GC_HULL = 8        # CONVEX_HULL_AREA, SOLIDITY, CIRCULARITY
+_GC_FERET = 11      # min_ang, max_ang, min, max, mean, median, stdev, mode
+_GC_MARTIN = 19     # min, max, mean, median, stdev, mode
+_GC_NASS = 25
+_GC_CHORDS = 31     # MAXCHORDS 8 + ALLCHORDS 8
+_GC_RRAD = 47       # MEAN, MAX, MEDIAN
+_GC_FRAC_AT_D = 50
+_GC_MEAN_FRAC = 58
+_GC_RADIAL_CV = 66
+
+
+def _geom_inputs(hc):
+    """(contours flat+offsets, recs matrix, flags) for the native geometry
+    kernel, built once per HostContext."""
+    cached = getattr(hc, "_geom_inputs", None)
+    if cached is not None:
+        return cached
+    n = len(hc.recs)
+    ctr_list = hc.contours if hc.contours is not None else [None] * n
+    koff = np.zeros(n + 1, np.int64)
+    parts = []
+    for i, K in enumerate(ctr_list):
+        k = 0 if K is None else len(K)
+        koff[i + 1] = koff[i] + k
+        if k:
+            parts.append(np.ascontiguousarray(K[:, :3], np.int64))
+    ctr = (np.concatenate(parts) if parts else np.zeros((0, 3), np.int64))
+    recs_mat = np.zeros((n, 9), np.int64)
+    flags = np.zeros(n, np.uint8)
+    for i, r in enumerate(hc.recs):
+        if r.report_bbox is not None:
+            ry0, ry1, rx0, rx1 = r.report_bbox
+        else:
+            ry0, ry1, rx0, rx1 = r.y0, r.y1, r.x0, r.x1
+        recs_mat[i] = (r.x0, r.x1, r.y0, r.y1, rx0, rx1, ry0, ry1, r.area)
+        # oversized rows have no dense pixel access; their hull comes from
+        # the streamed contour (every hull vertex is a boundary pixel)
+        flags[i] = 1 if hc.pixels_ok(i) else 2
+    hc._geom_inputs = ((ctr, koff), recs_mat, flags)
+    return hc._geom_inputs
+
+
+def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
+                 phase="all"):
+    """Run the one-call geometry kernel over every host row; caches the
+    result matrix on the HostContext so the per-family accessors below just
+    slice columns.  Returns True when the native path ran.
+
+    ``phase`` splits the work around the device dispatch: "logw" computes
+    only the per-pixel weighted-moment log distances (needed BEFORE the
+    device batches are built); "rest" computes every requested feature group
+    and runs while the dispatched device batches execute; "all" does both."""
+    from .. import native
+    if not native.available() or getattr(hc, "clouds", None) is None:
+        return False
+    groups = 0
+    if phase in ("rest", "all"):
+        for f in families:
+            groups |= GEOM_GROUPS.get(f, 0)
+    if want_logw and phase in ("logw", "all"):
+        groups |= G_LOGW
+    if groups == 0:
+        return False
+    contours, recs_mat, flags = _geom_inputs(hc)
+    n = len(hc.recs)
+    out = np.zeros((n, GEOM_W))
+    out[:, _GC_FERET:_GC_CHORDS] = cfg.noval
+    out[:, _GC_CHORDS:_GC_RRAD] = -0.0
+    out[:, _GC_FRAC_AT_D:GEOM_W] = -0.0
+    want_lw = bool(groups & G_LOGW)
+    out, logw = native.geom_batch(hc.clouds, contours, recs_mat, flags,
+                                  groups, logw_eps=logw_eps, out=out,
+                                  want_logw=want_lw)
+    if phase != "logw":
+        hc.geom = out
+    if want_lw:
+        hc.logw_flat = logw
+    return True
+
+
+def _geom(hc):
+    return getattr(hc, "geom", None)
+
+
+# ---------------------------------------------------------------------------
 # convex hull (convex_hull_nontriv.cpp:68-210)
 
 def build_convex_hull(xs, ys):
@@ -82,6 +189,11 @@ def hull_boundary_points(v):
 
 def convex_hull_features(hc, cfg):
     """CONVEX_HULL_AREA / SOLIDITY / CIRCULARITY (convex_hull_nontriv.cpp:50-66)."""
+    g = _geom(hc)
+    if g is not None:
+        return {"CONVEX_HULL_AREA": g[:, _GC_HULL].copy(),
+                "SOLIDITY": g[:, _GC_HULL + 1].copy(),
+                "CIRCULARITY": g[:, _GC_HULL + 2].copy()}
     n = len(hc.recs)
     out = {k: np.zeros(n) for k in ("CONVEX_HULL_AREA", "SOLIDITY", "CIRCULARITY")}
     perim = hc.get_feature("PERIMETER")
@@ -521,10 +633,14 @@ def _caliper_native(kind, members, hc, cfg):
 
 def caliper_feret(hc, cfg):
     from .. import native
-    if not native.available():
+    g = _geom(hc)
+    if g is not None:
+        m = g[:, _GC_FERET:_GC_FERET + 8]
+    elif not native.available():
         return caliper_feret_py(hc, cfg)
+    else:
+        m = native.caliper_batch("feret", hc.hulls, cfg.noval)
     # native order: min_ang, max_ang, min, max, mean, median, stdev, mode
-    m = native.caliper_batch("feret", hc.hulls, cfg.noval)
     return {"MIN_FERET_ANGLE": m[:, 0].copy(),
             "MAX_FERET_ANGLE": m[:, 1].copy(),
             "STAT_FERET_DIAM_MIN": m[:, 2].copy(),
@@ -537,6 +653,10 @@ def caliper_feret(hc, cfg):
 
 def caliper_martin(hc, cfg):
     from .. import native
+    g = _geom(hc)
+    if g is not None:
+        return {m: g[:, _GC_MARTIN + _STAT_PERM[m.rsplit("_", 1)[1]]].copy()
+                for m in _MARTIN_MEMBERS}
     if not native.available():
         return caliper_martin_py(hc, cfg)
     return _caliper_native("martin", _MARTIN_MEMBERS, hc, cfg)
@@ -544,6 +664,10 @@ def caliper_martin(hc, cfg):
 
 def caliper_nassenstein(hc, cfg):
     from .. import native
+    g = _geom(hc)
+    if g is not None:
+        return {m: g[:, _GC_NASS + _STAT_PERM[m.rsplit("_", 1)[1]]].copy()
+                for m in _NASS_MEMBERS}
     if not native.available():
         return caliper_nassenstein_py(hc, cfg)
     return _caliper_native("nassenstein", _NASS_MEMBERS, hc, cfg)
@@ -555,6 +679,13 @@ _CHORD_MEMBERS = ("MAX", "MAX_ANG", "MIN", "MIN_ANG", "MEDIAN", "MEAN",
 
 def chords(hc, cfg):
     from .. import native
+    g = _geom(hc)
+    if g is not None:
+        out = {}
+        for j, tag in enumerate(_CHORD_MEMBERS):
+            out["MAXCHORDS_" + tag] = g[:, _GC_CHORDS + j].copy()
+            out["ALLCHORDS_" + tag] = g[:, _GC_CHORDS + 8 + j].copy()
+        return out
     if not native.available():
         return chords_py(hc, cfg)
     points = []
@@ -734,15 +865,41 @@ def geodetic_features(hc, cfg):
 # ---------------------------------------------------------------------------
 # neighbors + hexagonality (neighbors.cpp, hexagonality_polygonality.cpp)
 
+_NEIGH_MEMBERS = ("NUM_NEIGHBORS", "PERCENT_TOUCHING",
+                  "CLOSEST_NEIGHBOR1_DIST", "CLOSEST_NEIGHBOR1_ANG",
+                  "CLOSEST_NEIGHBOR2_DIST", "CLOSEST_NEIGHBOR2_ANG",
+                  "ANG_BW_NEIGHBORS_MEAN", "ANG_BW_NEIGHBORS_STDDEV",
+                  "ANG_BW_NEIGHBORS_MODE")
+
+
 def neighbors_features(hc, cfg):
+    from .. import native
+    if native.available():
+        n = len(hc.recs)
+        KG = []
+        aabbs = np.zeros((n, 4), np.int64)
+        for i, r in enumerate(hc.recs):
+            K = hc.contours[i]
+            if K is None or K.shape[0] == 0:
+                KG.append(None)
+            else:
+                pts = K[:, :2].astype(np.float64)
+                pts[:, 0] += r.x0
+                pts[:, 1] += r.y0
+                KG.append(pts)
+            aabbs[i] = (r.x0, r.x1, r.y0, r.y1)
+        m = native.neighbors_batch(KG, aabbs, hc.get_feature("CENTROID_X"),
+                                   hc.get_feature("CENTROID_Y"),
+                                   cfg.pixel_distance)
+        return {name: m[:, j].copy() for j, name in enumerate(_NEIGH_MEMBERS)}
+    return neighbors_features_py(hc, cfg)
+
+
+def neighbors_features_py(hc, cfg):
     n = len(hc.recs)
     radius = cfg.pixel_distance
     radius2 = radius * radius
-    out = {k: np.zeros(n) for k in (
-        "NUM_NEIGHBORS", "PERCENT_TOUCHING", "CLOSEST_NEIGHBOR1_DIST",
-        "CLOSEST_NEIGHBOR1_ANG", "CLOSEST_NEIGHBOR2_DIST",
-        "CLOSEST_NEIGHBOR2_ANG", "ANG_BW_NEIGHBORS_MEAN",
-        "ANG_BW_NEIGHBORS_STDDEV", "ANG_BW_NEIGHBORS_MODE")}
+    out = {k: np.zeros(n) for k in _NEIGH_MEMBERS}
 
     # global contour point arrays
     KG = []
@@ -912,6 +1069,11 @@ def roi_radius(hc, cfg):
     """ROI_RADIUS_{MEAN,MAX,MEDIAN} (roi_radius.cpp:11-37): statistics of the
     per-pixel approximate min SQUARED distance to the merged contour; the
     median is over uint-truncated values (TrivialHistogram, histogram.h:352)."""
+    g = _geom(hc)
+    if g is not None:
+        return {"ROI_RADIUS_MEAN": g[:, _GC_RRAD].copy(),
+                "ROI_RADIUS_MAX": g[:, _GC_RRAD + 1].copy(),
+                "ROI_RADIUS_MEDIAN": g[:, _GC_RRAD + 2].copy()}
     n = len(hc.recs)
     out = {k: np.zeros(n) for k in
            ("ROI_RADIUS_MEAN", "ROI_RADIUS_MAX", "ROI_RADIUS_MEDIAN")}
@@ -934,6 +1096,11 @@ def radial_distribution(hc, cfg):
     Center = cloud pixel minimizing (approx max d2 - approx min d2) to the
     contour; 8 radial bins scaled by sqrt(approx max d2 at the center);
     8 angular wedges for the CV."""
+    g = _geom(hc)
+    if g is not None:
+        return {"FRAC_AT_D": g[:, _GC_FRAC_AT_D:_GC_FRAC_AT_D + 8].copy(),
+                "MEAN_FRAC": g[:, _GC_MEAN_FRAC:_GC_MEAN_FRAC + 8].copy(),
+                "RADIAL_CV": g[:, _GC_RADIAL_CV:_GC_RADIAL_CV + 8].copy()}
     n = len(hc.recs)
     nb = 8
     eps = 1e-9

@@ -79,6 +79,45 @@ def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
     return jnp.concatenate(parts, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
+                                             "layout_key"))
+def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
+                         layout_key=None):
+    """Run all feature families over EVERY bucket of a pair in ONE device
+    dispatch, returning one concatenated [sum(B), total_width] array.
+
+    The per-execution RPC overhead of the tunneled TPU runtime dominates
+    small-kernel launches (~10-15 ms each); fusing the whole pair into a
+    single executable + a single fetch removes it.  Each bucket entry is
+    (ci [B,h,w], cm [B,h,w] bool, meta_i [B,5] int32 (area, y0, x0, h, w),
+    meta_f [B,4] (vmin, vmax, slide_min, slide_max), lw [B,h,w] | None)."""
+    outs = []
+    for (ci, cm, meta_i, meta_f, lw) in bucket_args:
+        ctx = registry.BatchContext(
+            ci, cm, meta_i[:, 0], meta_f[:, 0], meta_f[:, 1],
+            meta_i[:, 1], meta_i[:, 2], meta_f[:, 2], meta_f[:, 3],
+            cfg, static_meta, heights=meta_i[:, 3], widths=meta_i[:, 4],
+            logw=lw)
+        out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
+        parts = []
+        layout = {}
+        off = 0
+        dt = ci.dtype
+        for fam in sorted(out):
+            for member in sorted(out[fam]):
+                arr = out[fam][member]
+                a2 = arr[:, None] if arr.ndim == 1 else arr
+                layout[(fam, member)] = (off, a2.shape[1])
+                parts.append(a2.astype(dt))
+                off += a2.shape[1]
+        prev = _BUCKET_LAYOUTS.setdefault(layout_key, layout)
+        assert prev == layout, \
+            "bucket layout collision for key %r" % (layout_key,)
+        outs.append(jnp.concatenate(parts, axis=1) if parts
+                    else jnp.zeros((ci.shape[0], 0), dt))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def _unpack_bucket(packed: np.ndarray, layout) -> dict:
     out: dict = {}
     for (fam, member), (off, w) in layout.items():
@@ -128,6 +167,55 @@ class HostContext:
             _, m = self.pair_crop(i)
             self._points[i] = np.nonzero(m)
         return self._points[i]
+
+
+def _build_clouds(recs, host_rows, over_set, resident, padded_crop):
+    """Concatenated per-ROI pixel clouds (global raster order) for the
+    batched native geometry pass: (gx, gy, inten, offsets) aligned with
+    ``host_rows``.  Resident pairs use ONE whole-slide nonzero + stable
+    label sort instead of per-ROI crops; oversized rows get empty clouds."""
+    from . import batching
+    n = len(host_rows)
+    off = np.zeros(n + 1, np.int64)
+    gx_p, gy_p, it_p = [], [], []
+    if resident is not None:
+        intens, label_img = resident
+        ys, xs = np.nonzero(label_img)
+        labs = label_img[ys, xs]
+        order = np.argsort(labs, kind="stable")
+        ys, xs, labs = ys[order], xs[order], labs[order]
+        vals = intens[ys, xs].astype(np.float64)
+        uniq, starts = np.unique(labs, return_index=True)
+        bounds = np.append(starts, len(labs))
+        seg = {int(l): (int(bounds[k]), int(bounds[k + 1]))
+               for k, l in enumerate(uniq)}
+        for j, i in enumerate(host_rows):
+            r = recs[i]
+            if i in over_set or r.label not in seg:
+                off[j + 1] = off[j]
+                continue
+            a, b = seg[r.label]
+            off[j + 1] = off[j] + (b - a)
+            gx_p.append(xs[a:b])
+            gy_p.append(ys[a:b])
+            it_p.append(vals[a:b])
+    else:
+        for j, i in enumerate(host_rows):
+            r = recs[i]
+            if i in over_set:
+                off[j + 1] = off[j]
+                continue
+            hb, wb = batching.bucket_shape(r.height, r.width)
+            ii, ll = padded_crop(i, hb, wb)
+            cys, cxs = np.nonzero(ll[:r.height, :r.width] == r.label)
+            off[j + 1] = off[j] + len(cys)
+            gx_p.append(cxs + r.x0)
+            gy_p.append(cys + r.y0)
+            it_p.append(ii[cys, cxs].astype(np.float64))
+    cat = lambda parts, dt: (np.concatenate(parts).astype(dt) if parts
+                             else np.zeros(0, dt))
+    return (cat(gx_p, np.int64), cat(gy_p, np.int64),
+            cat(it_p, np.float64), off)
 
 
 def _crop_batch_device(padded_intens, padded_labels, recs, shape, dtype):
@@ -347,133 +435,10 @@ class PairRunner:
                                                                 source)
             sw_contour.__exit__()
 
-        if resident is not None and batches:
-            # pad once so every device-side AABB crop is in-bounds
-            intens, label_img = resident
-            max_hb = max(s[0] for s, _ in batches)
-            max_wb = max(s[1] for s, _ in batches)
-            pi = np.zeros((intens.shape[0] + max_hb,
-                           intens.shape[1] + max_wb),
-                          dtype=np.float32 if dtype == jnp.float32
-                          else np.float64)
-            pl = np.zeros_like(pi, dtype=np.int32)
-            pi[:intens.shape[0], :intens.shape[1]] = intens
-            pl[:label_img.shape[0], :label_img.shape[1]] = label_img
-            d_int = jnp.asarray(pi)
-            d_lab = jnp.asarray(pl)
-
-        vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
-             % (len(batches), len(triv_rows), len(over_rows)))
-        pending = []
-        for shape, idxs in batches:
-            sw_batch = stopwatch("Pipeline/Phase2_device_batches/#33cc77")
-            sw_batch.__enter__()
-            batch_recs = [recs[i] for i in idxs]
-            if resident is not None:
-                ci, cm = _crop_batch_device(d_int, d_lab, batch_recs, shape,
-                                            dtype)
-            else:
-                hb, wb = shape
-                np_dt = np.float32 if dtype == jnp.float32 else np.float64
-                ci_h = np.empty((len(idxs), hb, wb), np_dt)
-                cm_h = np.empty((len(idxs), hb, wb), bool)
-                for bi, i in enumerate(idxs):
-                    ii, ll = padded_crop(i, hb, wb)
-                    ci_h[bi] = ii
-                    cm_h[bi] = ll == recs[i].label
-                ci = jnp.asarray(ci_h)
-                cm = jnp.asarray(cm_h)
-            area = jnp.asarray([r.area for r in batch_recs], jnp.int32)
-            vmin = jnp.asarray([r.vmin for r in batch_recs], dtype)
-            vmax = jnp.asarray([r.vmax for r in batch_recs], dtype)
-            y0 = jnp.asarray([r.y0 for r in batch_recs], jnp.int32)
-            x0 = jnp.asarray([r.x0 for r in batch_recs], jnp.int32)
-            hh = jnp.asarray([r.height for r in batch_recs], jnp.int32)
-            ww = jnp.asarray([r.width for r in batch_recs], jnp.int32)
-            sl_min = jnp.full((len(idxs),), smin, dtype)
-            sl_max = jnp.full((len(idxs),), smax, dtype)
-
-            static_meta = ()
-            if self.cfg.ibsi:
-                # IBSI no-binning mode sizes level axes by the max integer
-                # intensity.  Using the per-batch max forced a recompile for
-                # every distinct batch max (VERDICT r1 weak #5); instead use
-                # the SLIDE max rounded up to the next power of two, so at
-                # most one compile per slide magnitude.  Level rows above a
-                # ROI's max stay empty and do not change any feature (Ng_p
-                # terms count PRESENT levels).
-                ceil = max(int(smax), 2)
-                ceil = 1 << (ceil - 1).bit_length()
-                static_meta = (("max_int", ceil),)
-
-            lw = None
-            if contours is not None and self._needs_logw:
-                # host-precomputed weighted-moment factor: log(sqrt(d2)+eps)
-                # with d2 the reference's APPROXIMATE min distance to the
-                # ordered contour (pixel.cpp:36-71; exact distances diverge)
-                from .. import native
-                from ..ops.moments import WEIGHTING_EPSILON
-                hb, wb = shape
-                np_dt = np.float32 if dtype == jnp.float32 else np.float64
-                lw_h = np.zeros((len(idxs), hb, wb), np_dt)
-                for bi, i in enumerate(idxs):
-                    K = contours[i]
-                    if K is None or K.shape[0] == 0:
-                        continue
-                    r = recs[i]
-                    if resident is not None:
-                        sl = (slice(r.y0, r.y1 + 1), slice(r.x0, r.x1 + 1))
-                        cm_i = resident[1][sl] == r.label
-                    else:
-                        ii_c, ll_c = padded_crop(i, hb, wb)
-                        cm_i = ll_c[:r.height, :r.width] == r.label
-                    ys_i, xs_i = np.nonzero(cm_i)
-                    mind2, _ = native.contour_sqdist_approx(
-                        xs_i.astype(np.float64), ys_i.astype(np.float64),
-                        K[:, 0].astype(np.float64), K[:, 1].astype(np.float64))
-                    lw_h[bi, ys_i, xs_i] = np.log(np.sqrt(mind2)
-                                                  + WEIGHTING_EPSILON)
-                lw = jnp.asarray(lw_h)
-
-            batch_args = (ci, cm, area, vmin, vmax, y0, x0, hh, ww,
-                          sl_min, sl_max)
-            if self.mesh is not None:
-                # shard the ROI axis over the device mesh; padded rows
-                # (copies of row 0) are dropped at collection time
-                from ..parallel import shard_batch
-                sharded, _ = shard_batch(self.mesh, batch_args + (lw,))
-                batch_args = sharded[:11]
-                lw = sharded[11]
-            bsz = int(batch_args[0].shape[0])
-
-            # dispatch only -- jax execution is async, so all bucket kernels
-            # overlap; results are fetched in one collection pass below
-            # (synchronous per-batch device_get would serialize a device
-            # round-trip per bucket shape)
-            lkey = _bucket_key(self.families, self.cfg, static_meta,
-                               (bsz,) + shape, lw is not None)
-            out = _extract_bucket_packed(*batch_args,
-                                         self.families, self.cfg,
-                                         static_meta, lw,
-                                         layout_key=lkey)
-            pending.append((idxs, lkey, out))
-            # drop only THIS batch's crops: crops read once during the
-            # contour pass stay cached until their own batch consumes them
-            # (a blanket clear re-read every later batch's regions from disk)
-            for i in idxs:
-                crop_cache.pop((i,) + shape, None)
-            sw_batch.__exit__()
-            vlog(3, "\t\tbatch %dx%dx%d dispatched" % (len(idxs), *shape))
-
         # host families split by dependency: families that never read
-        # device-computed members run HERE, overlapping the (async) device
-        # batches; the device-dependent remainder runs after collection
+        # device-computed members run while the (async) device batches
+        # execute; the device-dependent remainder runs after collection
         pre_host, post_host = registry.split_host_families(self.fset)
-        # oversized rows join the host pass when they have a streamed
-        # contour: contour/hull/caliper/circle/geodetic families need only
-        # the contour + already-computed scalars.  Pixel-sweep families
-        # (chords, radius, radial distribution, IMQ) check
-        # hc.pixels_ok(i) and leave those rows unassigned.
         host_rows = list(triv_rows)
         if contours is not None:
             host_rows += [i for i in over_rows
@@ -481,7 +446,8 @@ class PairRunner:
                           and contours[i].shape[0] > 0]
             host_rows.sort()
         hc = None
-        if (pre_host or post_host) and host_rows:
+        hrow_pos = {}
+        if (pre_host or post_host or self._needs_logw) and host_rows:
             rows = np.asarray(host_rows)
             over_local = frozenset(j for j, i in enumerate(host_rows)
                                    if i in over_set)
@@ -497,7 +463,190 @@ class PairRunner:
                             [contours[i] for i in host_rows])
             hc = HostContext([recs[i] for i in host_rows], sub_contours,
                              source, get_feature, oversized=over_local)
+            hrow_pos = {i: j for j, i in enumerate(host_rows)}
+            if contours is not None:
+                # phase "logw" of the native geometry pass: only the
+                # per-pixel log distances the device batches consume; the
+                # heavy feature groups run later, overlapping device exec
+                with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
+                    hc.clouds = _build_clouds(recs, host_rows, over_set,
+                                              resident, padded_crop)
+                    from . import hostfeats
+                    from ..ops.moments import WEIGHTING_EPSILON
+                    hostfeats.compute_geom(
+                        hc, self.cfg, (), want_logw=self._needs_logw,
+                        logw_eps=WEIGHTING_EPSILON, phase="logw")
 
+        static_meta = ()
+        if self.cfg.ibsi:
+            # IBSI no-binning mode sizes level axes by the max integer
+            # intensity.  Using the per-batch max forced a recompile for
+            # every distinct batch max (VERDICT r1 weak #5); instead use
+            # the SLIDE max rounded up to the next power of two, so at
+            # most one compile per slide magnitude.  Level rows above a
+            # ROI's max stay empty and do not change any feature (Ng_p
+            # terms count PRESENT levels).
+            ceil = max(int(smax), 2)
+            ceil = 1 << (ceil - 1).bit_length()
+            static_meta = (("max_int", ceil),)
+        np_dt = np.float32 if dtype == jnp.float32 else np.float64
+        want_lw = contours is not None and self._needs_logw
+        have_logw_flat = (hc is not None
+                          and getattr(hc, "logw_flat", None) is not None)
+
+        vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
+             % (len(batches), len(triv_rows), len(over_rows)))
+        pending = []        # mesh path: (idxs, lkey, out)
+        fused = []          # single-dispatch path: (idxs, device bucket args)
+        for shape, idxs in batches:
+            sw_batch = stopwatch("Pipeline/Phase2_device_batches/#33cc77")
+            sw_batch.__enter__()
+            batch_recs = [recs[i] for i in idxs]
+            hb, wb = shape
+            # crops are assembled HOST-side and shipped once: the device-side
+            # vmapped dynamic_slice gather from a resident slide compiled to
+            # a far slower program than a plain H2D of the packed crops, and
+            # the whole padded slide no longer needs transferring
+            B = len(idxs)
+            pad_b = 0
+            if self.mesh is None and max(hb, wb) <= 256:
+                # quantize the batch axis of nucleus-scale buckets so the
+                # fused executable's signature recurs across slides (pad rows
+                # replicate row 0; dropped at unpack time).  Big-ROI buckets
+                # are left exact: their texture intermediates scale ~ng x the
+                # crop, so even one padded row is expensive
+                bq = max(8, 1 << (B - 1).bit_length())
+                pad_b = bq - B
+            ci_h = np.zeros((B + pad_b, hb, wb), np_dt)
+            cm_h = np.zeros((B + pad_b, hb, wb), bool)
+            if resident is not None:
+                intens_r, label_r = resident
+                H, W = label_r.shape
+                for bi, i in enumerate(idxs):
+                    r = recs[i]
+                    h_av = max(0, min(hb, H - r.y0))
+                    w_av = max(0, min(wb, W - r.x0))
+                    sl = (slice(r.y0, r.y0 + h_av), slice(r.x0, r.x0 + w_av))
+                    ci_h[bi, :h_av, :w_av] = intens_r[sl]
+                    cm_h[bi, :h_av, :w_av] = label_r[sl] == r.label
+            else:
+                for bi, i in enumerate(idxs):
+                    ii, ll = padded_crop(i, hb, wb)
+                    ci_h[bi] = ii
+                    cm_h[bi] = ll == recs[i].label
+            pad_recs = batch_recs + [batch_recs[0]] * pad_b
+            if pad_b:
+                ci_h[B:] = ci_h[0]
+                cm_h[B:] = cm_h[0]
+            meta_i = np.asarray([[r.area, r.y0, r.x0, r.height, r.width]
+                                 for r in pad_recs], np.int32)
+            meta_f = np.asarray([[r.vmin, r.vmax, smin, smax]
+                                 for r in pad_recs], np_dt)
+
+            lw_h = None
+            if want_lw:
+                # host-precomputed weighted-moment factor: log(sqrt(d2)+eps)
+                # with d2 the reference's APPROXIMATE min distance to the
+                # ordered contour (pixel.cpp:36-71; exact distances diverge)
+                lw_h = np.zeros((B + pad_b, hb, wb), np_dt)
+                if have_logw_flat:
+                    # flat per-pixel log distances from the batched native
+                    # geometry pass, scattered into the padded crop frame
+                    gx, gy, _, coff = hc.clouds
+                    lwf = hc.logw_flat
+                    for bi, i in enumerate(idxs):
+                        j = hrow_pos[i]
+                        a, b = coff[j], coff[j + 1]
+                        if b <= a:
+                            continue
+                        r = recs[i]
+                        lw_h[bi, gy[a:b] - r.y0, gx[a:b] - r.x0] = lwf[a:b]
+                else:
+                    from .. import native
+                    from ..ops.moments import WEIGHTING_EPSILON
+                    for bi, i in enumerate(idxs):
+                        K = contours[i]
+                        if K is None or K.shape[0] == 0:
+                            continue
+                        r = recs[i]
+                        if resident is not None:
+                            sl = (slice(r.y0, r.y1 + 1),
+                                  slice(r.x0, r.x1 + 1))
+                            cm_i = resident[1][sl] == r.label
+                        else:
+                            ii_c, ll_c = padded_crop(i, hb, wb)
+                            cm_i = ll_c[:r.height, :r.width] == r.label
+                        ys_i, xs_i = np.nonzero(cm_i)
+                        mind2, _ = native.contour_sqdist_approx(
+                            xs_i.astype(np.float64), ys_i.astype(np.float64),
+                            K[:, 0].astype(np.float64),
+                            K[:, 1].astype(np.float64))
+                        lw_h[bi, ys_i, xs_i] = np.log(np.sqrt(mind2)
+                                                      + WEIGHTING_EPSILON)
+                if pad_b:
+                    lw_h[B:] = lw_h[0]
+
+            if self.mesh is not None:
+                ci = jnp.asarray(ci_h)
+                cm = jnp.asarray(cm_h)
+                lw = jnp.asarray(lw_h) if lw_h is not None else None
+                batch_args = (ci, cm, jnp.asarray(meta_i[:, 0]),
+                              jnp.asarray(meta_f[:, 0]),
+                              jnp.asarray(meta_f[:, 1]),
+                              jnp.asarray(meta_i[:, 1]),
+                              jnp.asarray(meta_i[:, 2]),
+                              jnp.asarray(meta_i[:, 3]),
+                              jnp.asarray(meta_i[:, 4]),
+                              jnp.asarray(meta_f[:, 2]),
+                              jnp.asarray(meta_f[:, 3]))
+                # shard the ROI axis over the device mesh; padded rows
+                # (copies of row 0) are dropped at collection time
+                from ..parallel import shard_batch
+                sharded, _ = shard_batch(self.mesh, batch_args + (lw,))
+                batch_args = sharded[:11]
+                lw = sharded[11]
+                bsz = int(batch_args[0].shape[0])
+                lkey = _bucket_key(self.families, self.cfg, static_meta,
+                                   (bsz,) + shape, lw is not None)
+                out = _extract_bucket_packed(*batch_args,
+                                             self.families, self.cfg,
+                                             static_meta, lw,
+                                             layout_key=lkey)
+                pending.append((idxs, lkey, out))
+            else:
+                fused.append((idxs, (jnp.asarray(ci_h), jnp.asarray(cm_h),
+                                     jnp.asarray(meta_i),
+                                     jnp.asarray(meta_f),
+                                     jnp.asarray(lw_h)
+                                     if lw_h is not None else None)))
+            # drop only THIS batch's crops: crops read once during the
+            # contour pass stay cached until their own batch consumes them
+            # (a blanket clear re-read every later batch's regions from disk)
+            for i in idxs:
+                crop_cache.pop((i,) + shape, None)
+            sw_batch.__exit__()
+            vlog(3, "\t\tbatch %dx%dx%d dispatched" % (len(idxs), *shape))
+
+        fused_out = fused_key = None
+        if fused:
+            # the per-execution RPC overhead of the tunneled runtime makes
+            # one fused dispatch for ALL buckets + one fetch decisively
+            # cheaper than per-bucket kernels (see _extract_pair_packed)
+            with stopwatch("Pipeline/Phase2_device_batches/#33cc77"):
+                shapes_sig = tuple(a[0].shape for _, a in fused)
+                fused_key = _bucket_key(self.families, self.cfg, static_meta,
+                                        shapes_sig, want_lw)
+                fused_out = _extract_pair_packed(
+                    tuple(a for _, a in fused), self.families, self.cfg,
+                    static_meta, layout_key=fused_key)
+
+        # pre-collect host families: their declared deps avoid any
+        # device-computed member, so they run while the dispatched device
+        # batches execute.  Oversized rows join the host pass when they have
+        # a streamed contour: contour/hull/caliper/circle/geodetic families
+        # need only the contour + already-computed scalars; pixel-sweep
+        # families (chords, radius, radial distribution, IMQ) check
+        # hc.pixels_ok(i) and leave those rows unassigned.
         def run_host(names):
             for name in names:
                 fam = registry.FAMILIES[name]
@@ -506,15 +655,35 @@ class PairRunner:
                 self._scatter(values, host_rows, {name: members})
 
         if hc is not None:
+            # heavy half of the native geometry pass (chords, hull,
+            # calipers, contour stats, fractal, radius, radial): overlaps
+            # the asynchronous device execution
+            if contours is not None:
+                with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
+                    from . import hostfeats
+                    hostfeats.compute_geom(
+                        hc, self.cfg,
+                        registry.activated_families(self.fset),
+                        phase="rest")
             run_host(pre_host)
 
         with stopwatch("Pipeline/Phase2_collect/#33aa99"):
-            # one transfer per bucket (a single packed array each)
-            fetched = jax.device_get([out for _, _, out in pending])
-            for (idxs, lkey, _), packed in zip(pending, fetched):
-                self._scatter(values, idxs,
-                              _unpack_bucket(packed[:len(idxs)],
-                                             _BUCKET_LAYOUTS[lkey]))
+            if fused_out is not None:
+                packed = np.asarray(jax.device_get(fused_out))
+                layout = _BUCKET_LAYOUTS[fused_key]
+                row0 = 0
+                for idxs, args in fused:
+                    bq = int(args[0].shape[0])
+                    self._scatter(values, idxs,
+                                  _unpack_bucket(packed[row0:row0 + len(idxs)],
+                                                 layout))
+                    row0 += bq
+            if pending:
+                fetched = jax.device_get([out for _, _, out in pending])
+                for (idxs, lkey, _), packed in zip(pending, fetched):
+                    self._scatter(values, idxs,
+                                  _unpack_bucket(packed[:len(idxs)],
+                                                 _BUCKET_LAYOUTS[lkey]))
 
         # oversized ROIs: streamed sufficient-statistic pass per ROI
         # (reference phase 3, phase3.cpp:24-127)

@@ -530,6 +530,15 @@ register("ZernikeFeature", _zernike_family)
 def _contour_host(hc, cfg):
     """ContourFeature (contour.cpp:935-987)."""
     import numpy as np
+    g = getattr(hc, "geom", None)
+    if g is not None:
+        return {"PERIMETER": g[:, 0].copy(),
+                "DIAMETER_EQUAL_PERIMETER": g[:, 1].copy(),
+                "EDGE_MEAN_INTENSITY": g[:, 2].copy(),
+                "EDGE_STDDEV_INTENSITY": g[:, 3].copy(),
+                "EDGE_MAX_INTENSITY": g[:, 4].copy(),
+                "EDGE_MIN_INTENSITY": g[:, 5].copy(),
+                "EDGE_INTEGRATED_INTENSITY": g[:, 6].copy()}
     n = len(hc.recs)
     out = {m: np.full(n, 0.0) for m in
            ("PERIMETER", "DIAMETER_EQUAL_PERIMETER", "EDGE_MEAN_INTENSITY",
@@ -645,6 +654,10 @@ register("SharpnessFeature", host_fn=_sharpness_host, domain="imq",
 def _fractal_perimeter_host(hc, cfg):
     """FRACT_DIM_PERIMETER (fractal_dim.cpp:96-125)."""
     import numpy as np
+    g = getattr(hc, "geom", None)
+    if g is not None:
+        from .pipeline.hostfeats import _GC_FRACT
+        return {"FRACT_DIM_PERIMETER": g[:, _GC_FRACT].copy()}
     n = len(hc.recs)
     vals = np.zeros(n)
     for i, K in enumerate(hc.contours):

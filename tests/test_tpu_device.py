@@ -35,6 +35,10 @@ PREFIX_TOL = {
     # fast_log2 entropy chains
     "GLCM_": 5e-3, "GLRLM_": 5e-3, "GLSZM_": 5e-3, "GLDZM_": 5e-3,
     "GLDM_": 5e-3, "NGLDM_": 5e-3, "NGTDM_": 2e-2,
+    # 3D texture columns are prefixed '3' (featureset.cpp:676); without
+    # these keys the 3D families silently fell to DEFAULT_TOL (r2 weak #2)
+    "3GLCM_": 5e-3, "3GLRLM_": 5e-3, "3GLSZM_": 5e-3, "3GLDZM_": 5e-3,
+    "3GLDM_": 5e-3, "3NGLDM_": 5e-3, "3NGTDM_": 2e-2,
     "GABOR": 5e-2,          # conv accumulation + threshold counting
     "ZERNIKE2D": 2e-2,
     "FRAC_AT_D": 2e-2, "MEAN_FRAC": 2e-2, "RADIAL_CV": 5e-2,
