@@ -1,9 +1,13 @@
-"""Image readers.
+"""Image readers (whole-image entry points + format dispatch).
 
 The reference uses native libtiff/z5/DCMTK/NIfTI loaders (src/nyx/
-grayscale_tiff.h, omezarr.h, nyxus_dicom_loader.h, raw_nifti.*).  Here the
-interim reader stack is PIL/OpenCV-based (whole-image), with the native C++
-tiled reader as the planned fast path for tile-streamed slides.
+grayscale_tiff.h, omezarr.h, nyxus_dicom_loader.h, raw_nifti.*).  This
+build's equivalents: the native C++ tiled/strip TIFF region server
+(``nyxus_tpu.native.TiffReader``, used for all tile-streamed paths), the
+self-written NIfTI-1/2 reader (``nifti.py``), DICOM incl. encapsulated
+RLE/JPEG transfer syntaxes (``dicom.py``), and OME-Zarr v2 with native
+blosc/zlib codecs (``zarr.py``).  PIL is only a last-resort fallback for
+formats libtiff cannot open (e.g. PNG masks in tests).
 """
 
 from __future__ import annotations

@@ -16,8 +16,11 @@ over an ``OutOfRamPixelCloud``, phase3.cpp:24-127, image_matrix_nontriv.h):
 * an optional second pass for centroid-dependent non-polynomial sums
   (distance-to-centroid mean/std for COMPACTNESS)
 
-Texture/contour families genuinely need the dense neighborhood structure and
-stay unassigned (-0.0) for oversized ROIs in this build.
+Texture matrices (all 7 families) stream through the tiled accumulators in
+``oversized_tex.py``; the streamed byte-mask contour trace
+(``pipeline/contour.py oversized_contour``) feeds hull/caliper/circle/
+geodetic/neighbor geometry.  Families listed in ``STREAMABLE`` are assigned
+for oversized ROIs; the remainder stay unassigned (-0.0).
 """
 
 from __future__ import annotations
