@@ -538,13 +538,21 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
 # which families this path can serve
 STREAMABLE = ("PixelIntensityFeatures", "IntensityHistogramFeatures",
               "BasicMorphologyFeatures", "EllipseFittingFeature",
-              "Imoms2D_feature", "Smoms2D_feature") + TEX_FAMILIES
+              "Imoms2D_feature", "Smoms2D_feature",
+              # streamed phase-3 tail (pipeline/oversized_extra.py)
+              "EulerNumberFeature", "ExtremaFeature", "ErosionPixelsFeature",
+              "FractalDimensionFeature", "ZernikeFeature", "GaborFeature",
+              "RoiRadiusFeature", "RadialDistributionFeature",
+              "ChordsFeature") + TEX_FAMILIES
 
 
 def process(rec, source, cfg, families, slide_min, slide_max,
-            block: int = 2048):
+            block: int = 2048, contour=None):
     """Full oversized-ROI pass.  Returns {family: {member: value}} for the
-    streamable subset of ``families``."""
+    streamable subset of ``families``.  ``contour`` is the streamed merged
+    contour ([K, 3] int64, +1-shifted local coords) feeding the
+    contour-distance families."""
+    from . import oversized_extra as ox
     want = [f for f in families if f in STREAMABLE]
     if not want:
         return {}
@@ -554,6 +562,14 @@ def process(rec, source, cfg, families, slide_min, slide_max,
     out = texture_members(rec, source, cfg,
                           [f for f in want if f in TEX_FAMILIES],
                           slide_max, block)
+    if ("RoiRadiusFeature" in want) or ("RadialDistributionFeature" in want):
+        out.update(ox.radial_streamed(rec, source, contour,
+                                      "RoiRadiusFeature" in want,
+                                      "RadialDistributionFeature" in want,
+                                      block))
+    if "ChordsFeature" in want:
+        out.update(ox.chords_streamed(rec, source, cfg,
+                                      cfg.ram_limit_mb << 20, block))
     for fam in [f for f in want if f not in TEX_FAMILIES]:
         if fam == "PixelIntensityFeatures":
             out[fam] = intensity_members(acc, slide_min, slide_max, cfg)
@@ -566,6 +582,21 @@ def process(rec, source, cfg, families, slide_min, slide_max,
             out[fam] = basic_morphology_members(rec, acc, comp, cfg)
         elif fam == "EllipseFittingFeature":
             out[fam] = ellipse_members(acc)
+        elif fam == "EulerNumberFeature":
+            out[fam] = ox.euler_streamed(rec, source, block)
+        elif fam == "ExtremaFeature":
+            out[fam] = ox.extrema_streamed(rec, source, block)
+        elif fam == "ErosionPixelsFeature":
+            out[fam] = ox.erosion_streamed(rec, source, block)
+        elif fam == "FractalDimensionFeature":
+            out[fam] = ox.fract_dim_boxcount_streamed(rec, source, block)
+        elif fam == "ZernikeFeature":
+            out[fam] = ox.zernike_streamed(rec, acc, source, cfg.noval, block)
+        elif fam == "GaborFeature":
+            out[fam] = ox.gabor_streamed(rec, acc, source, cfg, block)
+        elif fam in ("RoiRadiusFeature", "RadialDistributionFeature",
+                     "ChordsFeature"):
+            continue   # handled above (multi-family shared passes)
         else:  # moments: one dict covers both prefixes, split by family
             mem = moments_members(acc)
             if fam == "Imoms2D_feature":

