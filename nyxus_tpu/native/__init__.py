@@ -406,6 +406,9 @@ def _concat_offsets(arrays, dtype):
 
 
 def _n_threads():
+    env = os.environ.get("NYXUS_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
     return max(1, os.cpu_count() or 1)
 
 

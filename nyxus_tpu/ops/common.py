@@ -11,11 +11,19 @@ import jax
 import jax.numpy as jnp
 
 
+# one-hot tensors up to this many elements ride the MXU matmul builders;
+# beyond it (large 3D cubes) the scatter fallback keeps memory O(A)
+_ONEHOT_ELEM_CAP = 1 << 27
+
+
 def masked_bincount(idx, weights, nbins: int):
     """Batched bincount: out[b, k] = sum_a weights[b, a] * (idx[b, a] == k).
 
-    Scatter-add via segment_sum: memory-light (never materializes a one-hot),
-    works for any nbins.  idx entries outside [0, nbins) contribute nothing.
+    MXU path: one-hot(idx) contracted with the weights -- one [A, nbins]
+    matvec per batch row.  Falls back to segment_sum when the one-hot would
+    exceed the element cap (XLA's TPU scatter lowering is far slower than a
+    matmul at bucket sizes, but is the only O(A)-memory option for giant
+    inputs).  idx entries outside [0, nbins) contribute nothing.
 
     idx:     [B, A] int32
     weights: [B, A] float (0 for padding)
@@ -23,10 +31,15 @@ def masked_bincount(idx, weights, nbins: int):
     """
     B, A = idx.shape
     in_range = (idx >= 0) & (idx < nbins)
+    w = jnp.where(in_range, weights, 0)
+    if B * A * nbins <= _ONEHOT_ELEM_CAP:
+        oh = (jnp.clip(idx, 0, nbins - 1)[..., None]
+              == jnp.arange(nbins, dtype=idx.dtype)).astype(weights.dtype)
+        return jnp.einsum("bak,ba->bk", oh, w,
+                          preferred_element_type=weights.dtype)
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     flat_idx = (rows * nbins + jnp.clip(idx, 0, nbins - 1)).reshape(-1)
-    w = jnp.where(in_range, weights, 0).reshape(-1)
-    out = jax.ops.segment_sum(w, flat_idx, num_segments=B * nbins)
+    out = jax.ops.segment_sum(w.reshape(-1), flat_idx, num_segments=B * nbins)
     return out.reshape(B, nbins)
 
 
@@ -35,12 +48,14 @@ def bincount2d(i_idx, j_idx, weights, ni: int, nj: int):
 
     Implemented as one-hot(i)^T @ (one-hot(j) * w): an [ni, A] x [A, nj]
     batched matmul -- the canonical MXU-friendly co-occurrence builder.
-    Memory is O(A * (ni + nj)) for the one-hots: fine for 2D bucket crops,
-    prohibitive for large 3D cubes -- use pair_hist there.
+    The weights fold into ONE of the one-hots so XLA emits a plain
+    dot_general (the 3-operand einsum form materialized the full
+    [B, A, ni, nj] outer product).  Memory is O(A * (ni + nj)): fine for 2D
+    bucket crops, prohibitive for large 3D cubes -- use pair_hist there.
     """
     oi = (i_idx[..., None] == jnp.arange(ni, dtype=i_idx.dtype)).astype(weights.dtype)
     oj = (j_idx[..., None] == jnp.arange(nj, dtype=j_idx.dtype)).astype(weights.dtype)
-    return jnp.einsum("bai,baj,ba->bij", oi, oj, weights,
+    return jnp.einsum("bai,baj->bij", oi, oj * weights[..., None],
                       preferred_element_type=weights.dtype)
 
 
@@ -53,7 +68,7 @@ def pair_hist(i_idx, j_idx, weights, ni: int, nj: int):
     (VERDICT r1 weak #6 -- 4 GB per direction at 256-cube, 64 levels).
     Entries with either index out of range contribute nothing."""
     B, A = i_idx.shape
-    if B * A * (ni + nj) <= (1 << 24):
+    if B * A * (ni + nj) <= _ONEHOT_ELEM_CAP:
         w = jnp.where((i_idx >= 0) & (i_idx < ni) &
                       (j_idx >= 0) & (j_idx < nj), weights, 0)
         return bincount2d(jnp.clip(i_idx, 0, ni - 1),

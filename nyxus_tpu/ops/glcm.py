@@ -80,11 +80,8 @@ def cooc_matrices(orig, levels, angles, offset: int, ng: int, symmetric: bool):
         valid = (center_valid & (nb_orig > 0)).reshape(B, -1).astype(dt)
         a = nb_lev.reshape(B, -1)
         b = lev_idx.reshape(B, -1)
-        oa = (a[..., None] == arange).astype(dt)
-        ob = (b[..., None] == arange).astype(dt)
-        m = jnp.einsum("bpi,bpj,bp->bij", oa, ob, valid,
-                       preferred_element_type=dt)
-        mats.append(m)
+        from .common import pair_hist
+        mats.append(pair_hist(a, b, valid, ng, ng))
     M = jnp.stack(mats, axis=1)
     if symmetric:
         M = M + jnp.swapaxes(M, -1, -2)

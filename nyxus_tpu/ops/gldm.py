@@ -39,9 +39,8 @@ def gldm_matrix(orig, levels, ng: int, dtype):
     lev_idx = (levels - 1).reshape(B, -1)
     nd_idx = (nd - 1).reshape(B, -1)
     w = roi.reshape(B, -1).astype(dtype)
-    oi = (lev_idx[..., None] == jnp.arange(ng, dtype=jnp.int32)).astype(dtype)
-    oj = (nd_idx[..., None] == jnp.arange(ND, dtype=jnp.int32)).astype(dtype)
-    return jnp.einsum("bpi,bpj,bp->bij", oi, oj, w, preferred_element_type=dtype)
+    from .common import pair_hist
+    return pair_hist(lev_idx, nd_idx, w, ng, ND)
 
 
 def gldm_features(P, vmin, vmax, noval: float):

@@ -57,10 +57,8 @@ def _runs_matrix_along_x(lev, valid, ng: int, nr: int):
     lev_idx = (lev - 1).reshape(B, -1)
     len_idx = jnp.clip(runlen - 1, 0, nr - 1).reshape(B, -1)
     w = is_start.reshape(B, -1).astype(jnp.float32 if lev.dtype == jnp.int32 else lev.dtype)
-
-    oa = (lev_idx[..., None] == jnp.arange(ng, dtype=jnp.int32)).astype(w.dtype)
-    ob = (len_idx[..., None] == jnp.arange(nr, dtype=jnp.int32)).astype(w.dtype)
-    return jnp.einsum("bpi,bpj,bp->bij", oa, ob, w, preferred_element_type=w.dtype)
+    from .common import pair_hist
+    return pair_hist(lev_idx, len_idx, w, ng, nr)
 
 
 def _shear(arr, fill, anti: bool):
@@ -69,19 +67,19 @@ def _shear(arr, fill, anti: bool):
     anti=False: 45-deg direction (dy=1, dx=1) -> column x - y + (H-1)
     anti=True:  135-deg direction (dy=1, dx=-1) -> column x + y
     Returns [B, H, W + H - 1].
-    """
+
+    Implemented as pad + flat re-view (row y of a width-(K-1) view of a
+    width-K buffer starts one column later per row): pure layout ops.  The
+    earlier take_along_axis gather cost ~4.6 GB of HBM traffic per call on
+    TPU (XLA's general-gather lowering); this form costs one copy.  Only
+    fill == 0 is supported (the pad supplies the zeros)."""
+    assert fill == 0
     B, H, W = arr.shape
-    Ws = W + H - 1
-    ys = np.arange(H)[:, None]
-    cs = np.arange(Ws)[None, :]
-    if anti:
-        src_x = cs - ys
-    else:
-        src_x = cs - (H - 1) + ys
-    ok = (src_x >= 0) & (src_x < W)
-    idx = jnp.asarray(np.clip(src_x, 0, W - 1))
-    out = jnp.take_along_axis(arr, jnp.broadcast_to(idx[None], (B, H, Ws)), axis=2)
-    return jnp.where(jnp.asarray(ok)[None], out, fill)
+    if not anti:
+        return _shear(arr[:, ::-1, :], fill, True)[:, ::-1, :]
+    K = W + H
+    p = jnp.pad(arr, ((0, 0), (0, 0), (0, K - W)))
+    return p.reshape(B, H * K)[:, :H * (K - 1)].reshape(B, H, K - 1)
 
 
 def run_matrices(lev, valid, ng: int, nr: int):

@@ -49,9 +49,8 @@ def ngldm_features(intens, mask, vmin, vmax, n_levels: int, nmax: int,
     lev_idx = jnp.where(mask, lev, 0).reshape(B, -1)
     m_idx = matches.reshape(B, -1)
     w = mask.reshape(B, -1).astype(dtype)
-    oi = (lev_idx[..., None] == jnp.arange(nb, dtype=jnp.int32)).astype(dtype)
-    oj = (m_idx[..., None] == jnp.arange(NR, dtype=jnp.int32)).astype(dtype)
-    P = jnp.einsum("bpi,bpj,bp->bij", oi, oj, w, preferred_element_type=dtype)
+    from .common import pair_hist
+    P = pair_hist(lev_idx, m_idx, w, nb, NR)
     return ngldm_features_from_matrix(P, vmin, vmax, noval, dtype)
 
 
