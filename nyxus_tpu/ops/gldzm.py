@@ -75,25 +75,14 @@ def gldzm_features(levels, valid, heights, widths, roi_area, vmin, vmax,
     # GLDZM zones are FULL 4-connected components (E/S/W/N DFS,
     # gldzm.cpp:121-210), unlike GLSZM's forward E/SE/S/SW scan
     anc = zones.zone_labels_cc4(levels, valid)
-    seed, _ = zones.zone_seeds_and_sizes(anc, valid)
-
     dist = border_distance(levels, heights, widths)
-    # zone metric: min pixel distance over the zone -> segment-min by label
-    import jax
-    flat = jnp.minimum(anc.reshape(B, -1), A)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    seg = (rows * (A + 1) + flat).reshape(-1)
-    dvals = jnp.where(valid, dist, jnp.int32(1 << 30)).reshape(-1)
-    zmin = jax.ops.segment_min(dvals, seg, num_segments=B * (A + 1))
-    zmin = zmin.reshape(B, A + 1)[:, :A]
-    zdist = jnp.take_along_axis(zmin, jnp.minimum(anc.reshape(B, -1), A - 1),
-                                axis=1).reshape(B, H, W)
-
-    seed_f = seed.reshape(B, -1)
-    zlev = jnp.where(seed, levels, 0).reshape(B, -1).astype(dtype)
-    zd = jnp.where(seed, zdist, 0).reshape(B, -1).astype(dtype)
+    # zone metric: min pixel distance over the zone, carried by the head of
+    # each sorted (zone, dist) run -- no segment-min / gather round trip
+    zlev_i, _, zd_i, ok = zones.zone_list(anc, levels, valid, dist=dist)
+    zlev = zlev_i.astype(dtype)
+    zd = zd_i.astype(dtype)
     gnz = zlev > 0          # zones with non-zero grey level count toward Ns
-    wz = (seed_f & gnz).astype(dtype)
+    wz = (ok & gnz).astype(dtype)
     return gldzm_features_from_zones(zlev, zd, wz, roi_area, vmin, vmax,
                                      noval, dtype, float(H + W + 2))
 

@@ -40,11 +40,10 @@ def glszm_features(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
     B, H, W = levels.shape
     A = H * W
     anc = zones.zone_labels(levels, valid)
-    seed, size = zones.zone_seeds_and_sizes(anc, valid)
-
-    zlev = jnp.where(seed, levels, 0).reshape(B, -1).astype(dtype)
-    zsize = jnp.where(seed, size, 0).reshape(B, -1).astype(dtype)
-    w = seed.reshape(B, -1).astype(dtype)
+    zlev_i, zsize_i, _, ok = zones.zone_list(anc, levels, valid)
+    zlev = zlev_i.astype(dtype)
+    zsize = zsize_i.astype(dtype)
+    w = ok.astype(dtype)
     return glszm_features_from_zones(zlev, zsize, w, np_pixels, vmin, vmax,
                                      noval, dtype, float(A + 1))
 

@@ -208,9 +208,8 @@ def glszm3d_all(levels, valid, np_pixels, vmin, vmax, noval: float, dtype):
     B = levels.shape[0]
     A = int(np.prod(levels.shape[1:]))
     anc = cc3d_labels(levels, valid, N26)
-    seed, size = _zone_seeds_sizes3d(anc, valid)
-    from . import glszm as glszm2d
-    return _glszm_from_zones(seed, levels.reshape(B, -1), size, np_pixels,
+    zlev, zsize, _, ok = zones2d.zone_list(anc, levels, valid)
+    return _glszm_from_zones(ok, zlev, zsize, np_pixels,
                              vmin, vmax, noval, dtype, A)
 
 
@@ -275,22 +274,13 @@ def gldzm3d_all(levels, valid, heights, widths, roi_area, vmin, vmax,
     B = levels.shape[0]
     A = int(np.prod(levels.shape[1:]))
     anc = cc3d_labels(levels, valid, N6)
-    seed, _ = _zone_seeds_sizes3d(anc, valid)
     dist = border_distance3d(levels, heights, widths)
-
-    flat = jnp.minimum(anc.reshape(B, -1), A)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    seg = (rows * (A + 1) + flat).reshape(-1)
-    dvals = jnp.where(valid, dist, jnp.int32(1 << 30)).reshape(-1)
-    zmin = jax.ops.segment_min(dvals, seg, num_segments=B * (A + 1))
-    zmin = zmin.reshape(B, A + 1)[:, :A]
-    zdist = jnp.take_along_axis(zmin, jnp.minimum(anc.reshape(B, -1), A - 1), axis=1)
-
-    lev_flat = levels.reshape(B, -1)
-    zlev = jnp.where(seed, lev_flat, 0).astype(dtype)
-    zd = jnp.where(seed, zdist, 0).astype(dtype)
+    # per-zone min distance via the sorted-run head (no segment-min/gather)
+    zlev_i, _, zd_i, ok = zones2d.zone_list(anc, levels, valid, dist=dist)
+    zlev = zlev_i.astype(dtype)
+    zd = zd_i.astype(dtype)
     gnz = zlev > 0
-    wz = (seed & gnz).astype(dtype)
+    wz = (ok & gnz).astype(dtype)
     ns = jnp.sum(wz, axis=1)
     s = jnp.maximum(ns, 1)
     inv = lambda x: 1.0 / jnp.where(x > 0, x, 1)

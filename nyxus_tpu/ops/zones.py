@@ -137,6 +137,47 @@ def zone_labels_cc4(lev, valid):
     return jnp.where(valid, anc, BIG)
 
 
+def zone_list(anc, lev, valid, dist=None):
+    """Per-zone (level, size[, min dist]) lists via ONE sort -- no segment
+    ops or gathers (XLA's TPU scatter/gather lowerings dominate the zone
+    families' cost; a [B, A] sort plus scans is far cheaper).
+
+    anc: [B, ...] zone labels (seed raster index; >= prod(spatial) invalid);
+    lev: [B, ...] levels; valid: participation mask; dist (optional):
+    per-pixel int distance whose ZONE MINIMUM is wanted.
+
+    Returns (zlev, zsize, zdist | None, ok): [B, A] arrays in sorted-zone
+    order; ok is True exactly once per zone."""
+    B = anc.shape[0]
+    A = 1
+    for d in anc.shape[1:]:
+        A *= d
+    BIG = jnp.int32(A)
+    af = jnp.where(valid, anc, BIG).reshape(B, -1)
+    lev_f = jnp.where(valid, lev, 0).reshape(B, -1)
+    if dist is not None:
+        # two-key lexicographic sort: the head of each anc run carries the
+        # zone-min distance (a composite int key overflows at 1024^2 crops)
+        df = jnp.where(valid, dist, jnp.int32(1 << 30)).reshape(B, -1)
+        anc_s, dist_s, lev_s = lax.sort((af, df, lev_f), dimension=1,
+                                        num_keys=2)
+    else:
+        anc_s, lev_s = lax.sort((af, lev_f), dimension=1, num_keys=1)
+        dist_s = None
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), anc_s[:, 1:] != anc_s[:, :-1]], axis=1)
+    is_end = jnp.concatenate(
+        [anc_s[:, 1:] != anc_s[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+    idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+    run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+    run_end = lax.cummin(jnp.where(is_end, idx, A), axis=1, reverse=True)
+    ok = is_start & (anc_s < BIG)
+    zsize = jnp.where(ok, run_end - run_start + 1, 0)
+    zlev = jnp.where(ok, lev_s, 0)
+    zdist = jnp.where(ok, dist_s, 0) if dist is not None else None
+    return zlev, zsize, zdist, ok
+
+
 def zone_seeds_and_sizes(anc, valid):
     """(seed mask, zone size at seed) from zone labels.
 
