@@ -93,22 +93,71 @@ def reference_baseline_rps():
         return None
 
 
+def bench_file_based(intens, labels, n_slides=8):
+    """End-to-end file protocol, IDENTICAL to BASELINE_MEASURED.json's
+    reference run: N tiled-LZW OME-TIFF int/seg pairs -> `*ALL*` -> one CSV,
+    via the CLI entry point (includes dataset scan, tile decode, prescan,
+    compute, CSV write).  Returns (rois, wall_seconds, mpix)."""
+    import shutil
+    import tempfile
+
+    from nyxus_tpu import native
+    from nyxus_tpu import cli
+
+    corpus = "/tmp/nyxus_bench_corpus_v1"
+    marker = os.path.join(corpus, ".complete_%d" % n_slides)
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus, ignore_errors=True)
+        for d in ("int", "seg"):
+            os.makedirs(os.path.join(corpus, d), exist_ok=True)
+        native.write_tiff(os.path.join(corpus, "int", "slide1.ome.tif"),
+                          intens.astype(np.uint16), tile_size=512)
+        native.write_tiff(os.path.join(corpus, "seg", "slide1.ome.tif"),
+                          labels.astype(np.uint16), tile_size=512)
+        for i in range(2, n_slides + 1):
+            for d in ("int", "seg"):
+                shutil.copy(os.path.join(corpus, d, "slide1.ome.tif"),
+                            os.path.join(corpus, d, "slide%d.ome.tif" % i))
+        open(marker, "w").close()
+
+    outdir = tempfile.mkdtemp(prefix="nyxus_bench_out_")
+    argv = ["--features=*ALL*", "--intDir=%s/int" % corpus,
+            "--segDir=%s/seg" % corpus, "--outDir=" + outdir,
+            "--outputType=singlecsv"]
+    t0 = time.perf_counter()
+    cli.main(argv)
+    wall = time.perf_counter() - t0
+    with open(os.path.join(outdir, "NyxusFeatures.csv")) as f:
+        rois = sum(1 for _ in f) - 1
+    shutil.rmtree(outdir, ignore_errors=True)
+    mpix = n_slides * intens.size / 1e6
+    return rois, wall, mpix
+
+
 def main():
     intens, labels = make_dsb_like()
 
-    # main measurement on the default platform (TPU under axon)
-    n, tpu_rps = bench_platform(intens, labels)
+    # in-memory measurement on the default platform (TPU under axon)
+    n, mem_rps = bench_platform(intens, labels)
     platform = jax.devices()[0].platform
 
+    # end-to-end file-based run (the honest apples-to-apples headline:
+    # the reference baseline includes its tile IO + prescan + CSV write)
+    rois, wall, mpix = bench_file_based(intens, labels)
+    file_rps = rois / wall
+
     baseline_rps = reference_baseline_rps()
-    vs = (tpu_rps / baseline_rps) if baseline_rps else 1.0
+    vs = (file_rps / baseline_rps) if baseline_rps else 1.0
     print(json.dumps({
-        "metric": "rois_per_sec_ALL_%s" % platform,
-        "value": round(tpu_rps, 2),
-        "unit": ("ROIs/sec, *ALL* 747 cols (1024x1024 DSB-like slide, %d "
-                 "ROIs); vs_baseline = vs reference nyxus CLI multicore CPU "
-                 "(BASELINE_MEASURED.json, %s ROIs/sec)"
-                 % (n, baseline_rps)),
+        "metric": "rois_per_sec_ALL_file_%s" % platform,
+        "value": round(file_rps, 2),
+        "unit": ("ROIs/sec, *ALL* 747 cols, END-TO-END file protocol (8x "
+                 "1024x1024 tiled-LZW OME-TIFF pairs -> singlecsv, same "
+                 "corpus+mode as the reference measurement); vs_baseline = "
+                 "vs reference nyxus CLI multicore CPU "
+                 "(BASELINE_MEASURED.json, %s ROIs/sec). In-memory path: "
+                 "%.1f ROIs/sec. File run: %d ROIs / %.2f s, %.2f Mpix/s"
+                 % (baseline_rps, mem_rps, rois, wall, mpix / wall)),
         "vs_baseline": round(vs, 3),
     }))
 

@@ -296,6 +296,14 @@ class Nyxus:
         """Yield (int_path, seg_path, per-slide DataFrame) one pair at a
         time; the backbone of both the accumulating and the streaming
         output modes."""
+        for ipath, lpath, labs, values in self._iter_directory_raw(
+                intensity_dir, label_dir, file_pattern):
+            yield ipath, lpath, self._to_frame(ipath, lpath, labs, values)
+
+    def _iter_directory_raw(self, intensity_dir, label_dir, file_pattern):
+        """Yield (int_path, seg_path, labels, values ndarray) per pair --
+        the frame-free backbone (the CSV writer consumes the raw matrix;
+        building a 750-column DataFrame costs ~50 ms per slide)."""
         import os
         from .io import dataset as ds
 
@@ -306,12 +314,47 @@ class Nyxus:
             pairs = process_shard(list(zip(int_files, lab_files)))
             int_files = [p[0] for p in pairs]
             lab_files = [p[1] for p in pairs]
-        for ipath, lpath in zip(int_files, lab_files):
-            fname = os.path.basename(lpath or ipath)
-            labs, values = self._run_pair_file(ipath, lpath, wholeslide,
-                                               fname)
-            values = _force_finite(values, self.cfg.noval)
-            yield ipath, lpath, self._to_frame(ipath, lpath, labs, values)
+        # double-buffered IO: a reader thread decodes the NEXT pair while
+        # the current pair computes (reference overlaps IO with compute via
+        # threaded tile loaders, abs_tile_loader.h:19, grayscale_tiff.h:33)
+        from concurrent.futures import ThreadPoolExecutor
+        pairs = list(zip(int_files, lab_files))
+        ex = ThreadPoolExecutor(max_workers=1)
+
+        def load(k):
+            try:
+                return self._load_pair_arrays(pairs[k][0], pairs[k][1],
+                                              wholeslide)
+            except Exception:
+                return None     # unreadable here -> re-read in-line below
+
+        # two-slide software pipeline: slide k's ASYNC device execution
+        # overlaps slide k+1's host stages (discovery, contours, geometry,
+        # dispatch); `finish` collects k's results right after k+1 launches
+        def finalize(entry):
+            ipath, lpath, labs, fin = entry
+            values = _force_finite(fin() if callable(fin) else fin,
+                                   self.cfg.noval)
+            return ipath, lpath, labs, values
+
+        inflight = None
+        try:
+            fut = ex.submit(load, 0) if pairs else None
+            for k, (ipath, lpath) in enumerate(pairs):
+                pre = fut.result() if fut is not None else None
+                fut = (ex.submit(load, k + 1)
+                       if k + 1 < len(pairs) else None)
+                fname = os.path.basename(lpath or ipath)
+                labs, fin = self._run_pair_file(ipath, lpath, wholeslide,
+                                                fname, preloaded=pre,
+                                                async_collect=True)
+                if inflight is not None:
+                    yield finalize(inflight)
+                inflight = (ipath, lpath, labs, fin)
+            if inflight is not None:
+                yield finalize(inflight)
+        finally:
+            ex.shutdown(wait=False)
 
     def featurize_files(self, intensity_files, mask_files, single_roi=False,
                         output_type: str = "pandas", output_path: str = ""):
@@ -340,12 +383,40 @@ class Nyxus:
         self._arrow_path = w.path
         return self._arrow_path
 
-    def _run_pair_file(self, ipath, lpath, wholeslide, fname):
-        """Featurize one on-disk pair; big TIFF pairs stream tile-by-tile
-        through the native region server instead of materializing
-        (reference RAM gate: nontrivial split, phase1.cpp:104-118)."""
+    def _load_pair_arrays(self, ipath, lpath, wholeslide):
+        """Pre-decode one pair into in-memory arrays (prefetch worker);
+        None when the pair exceeds the RAM gate and must stream."""
         import os
         from .io import readers
+        if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
+            try:
+                from . import native
+                if native.available():
+                    with native.TiffReader(ipath) as r:
+                        H, W = r.height, r.width
+                    if H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2:
+                        return None
+            except Exception:
+                pass
+        intens = readers.read_gray(ipath)
+        labmat = (np.ones(intens.shape, np.uint32) if wholeslide
+                  else readers.read_gray(lpath).astype(np.uint32))
+        return self._prep_intensity(intens), labmat
+
+    def _run_pair_file(self, ipath, lpath, wholeslide, fname,
+                       preloaded=None, async_collect=False):
+        """Featurize one on-disk pair; big TIFF pairs stream tile-by-tile
+        through the native region server instead of materializing
+        (reference RAM gate: nontrivial split, phase1.cpp:104-118).
+        With ``async_collect`` the second element returned is a finish()
+        callable (see PairRunner._run_core)."""
+        import os
+        from .io import readers
+        if preloaded is not None:
+            I, labmat = preloaded
+            return self._runner.run(I, labmat, blacklist=self._blacklist,
+                                    wholeslide=wholeslide, fname=fname,
+                                    async_collect=async_collect)
         if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
             src = None
             try:

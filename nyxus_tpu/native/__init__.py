@@ -33,7 +33,8 @@ _lib = None
 _build_err = None
 
 _SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp",
-            "contour.cpp", "geomfeats.cpp", "geomfeats_batch.cpp")
+            "contour.cpp", "geomfeats.cpp", "geomfeats_batch.cpp",
+            "discover.cpp")
 
 
 def _needs_build() -> bool:
@@ -146,6 +147,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_double, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+        lib.nyx_discover.restype = ctypes.c_int
+        lib.nyx_discover.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_long,
+                                     ctypes.c_long]
+        lib.nyx_discover_fetch.restype = ctypes.c_int
+        lib.nyx_discover_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -478,6 +488,64 @@ def min_enclosing_circles(contours):
         off.ctypes.data_as(ctypes.c_void_p), n,
         out.ctypes.data_as(ctypes.c_void_p), _n_threads())
     return out
+
+
+_DISCOVER_DTYPES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
+                    np.dtype(np.uint32): 2, np.dtype(np.int32): 3,
+                    np.dtype(np.float32): 4, np.dtype(np.float64): 5,
+                    np.dtype(np.int64): 6}
+_discover_lock = threading.Lock()
+
+
+def discover(labels_img, intens, want_clouds=False):
+    """One-pass label discovery (+ optional raster-order cloud assembly).
+
+    labels_img: [H, W] int-like; intens: [H, W] numeric (same shape).
+    Returns (recs int64 [n, 8] (label, area, y0, y1, x0, x1, 0, 0),
+             fmm float64 [n, 2] (vmin, vmax), slide_min, slide_max,
+             clouds | None) with clouds = (gx, gy, inten, offsets)
+    concatenated per ascending label in raster order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _build_err)
+    labels_img = np.ascontiguousarray(labels_img, np.int32)
+    intens = np.ascontiguousarray(intens)
+    if intens.dtype not in _DISCOVER_DTYPES:
+        intens = np.ascontiguousarray(intens, np.float64)
+    dt = _DISCOVER_DTYPES[intens.dtype]
+    H, W = labels_img.shape
+    lp = labels_img.ctypes.data_as(ctypes.c_void_p)
+    ip = intens.ctypes.data_as(ctypes.c_void_p)
+    with _discover_lock:   # thread_local native state pair of calls
+        n = lib.nyx_discover(lp, ip, dt, H, W)
+        if n < 0:
+            raise RuntimeError("nyx_discover failed")
+        recs = np.zeros((n, 8), np.int64)
+        fmm = np.zeros((n, 2), np.float64)
+        extrema = np.zeros(2, np.float64)
+        if want_clouds:
+            total = int(np.count_nonzero(labels_img)) if n else 0
+            off = np.zeros(n + 1, np.int64)
+            gx = np.empty(total, np.int64)
+            gy = np.empty(total, np.int64)
+            gi = np.empty(total, np.float64)
+            lib.nyx_discover_fetch(
+                lp, ip, dt, recs.ctypes.data_as(ctypes.c_void_p),
+                fmm.ctypes.data_as(ctypes.c_void_p),
+                extrema.ctypes.data_as(ctypes.c_void_p),
+                off.ctypes.data_as(ctypes.c_void_p),
+                gx.ctypes.data_as(ctypes.c_void_p),
+                gy.ctypes.data_as(ctypes.c_void_p),
+                gi.ctypes.data_as(ctypes.c_void_p))
+            clouds = (gx, gy, gi, off)
+        else:
+            lib.nyx_discover_fetch(
+                lp, ip, dt, recs.ctypes.data_as(ctypes.c_void_p),
+                fmm.ctypes.data_as(ctypes.c_void_p),
+                extrema.ctypes.data_as(ctypes.c_void_p),
+                None, None, None, None)
+            clouds = None
+    return recs, fmm, float(extrema[0]), float(extrema[1]), clouds
 
 
 def geom_batch(clouds, contours, recs_mat, flags, groups, logw_eps=0.0,

@@ -127,10 +127,18 @@ void nyx_caliper_feret_one(const double* hx, const double* hy, long k,
 
 // Martin caliper (reference: caliper_martin.cpp).
 // out[6]: min, max, mean, median, stdev, mode
+//
+// Scanline widths are gathered edge-major: each hull edge only visits the
+// scanlines its y-range covers (a convex hull meets each scanline in ~2
+// edges, so this is ~15x less work than the scanline-major form), while
+// every covered (edge, y) pair evaluates the identical IEEE expression --
+// min/max are order-independent, so the result is bit-equal.
 void nyx_caliper_martin_one(const double* hx, const double* hy, long k,
                             double* out) {
     const int NGRID = 100;
     std::vector<double> rx, ry, D;
+    double xlo[NGRID], xhi[NGRID];
+    bool have[NGRID];
     for (double th = 0.0; th < 180.0; th += 10.0) {
         rotate_fp(hx, hy, k, th, rx, ry);
         double miny = ry[0], maxy = ry[0];
@@ -140,10 +148,36 @@ void nyx_caliper_martin_one(const double* hx, const double* hy, long k,
         }
         if (maxy <= miny) continue;
         double stepy = (maxy - miny) / NGRID;
+        for (int g = 0; g < NGRID; g++) have[g] = false;
+        for (long i = 0; i < k; i++) {
+            long j = (i + 1) % k;
+            double lo = std::min(ry[i], ry[j]), hi = std::max(ry[i], ry[j]);
+            // widened index window; the exact y in [lo, hi] test below keeps
+            // bit-parity with the all-edges scan
+            long g0 = (long)std::floor((lo - miny) / stepy - 0.5) - 1;
+            long g1 = (long)std::ceil((hi - miny) / stepy - 0.5) + 1;
+            g0 = std::max(g0, 0L);
+            g1 = std::min(g1, (long)NGRID - 1);
+            for (long g = g0; g <= g1; g++) {
+                double y = miny + ((double)g + 0.5) * stepy;
+                if (y < lo || y > hi) continue;
+                double e0, e1;
+                if (ry[j] != ry[i]) {
+                    double x = rx[i] + (rx[j] - rx[i]) * (y - ry[i]) /
+                                           (ry[j] - ry[i]);
+                    e0 = e1 = x;
+                } else {
+                    e0 = std::min(rx[i], rx[j]);
+                    e1 = std::max(rx[i], rx[j]);
+                }
+                if (!have[g]) { xlo[g] = e0; xhi[g] = e1; have[g] = true; }
+                else { xlo[g] = std::min(xlo[g], e0);
+                       xhi[g] = std::max(xhi[g], e1); }
+            }
+        }
         double widths[NGRID], total = 0;
         for (int g = 0; g < NGRID; g++) {
-            double y = miny + ((double)g + 0.5) * stepy;
-            widths[g] = hull_width_at_y(rx, ry, y);
+            widths[g] = have[g] ? xhi[g] - xlo[g] : 0.0;
             total += widths[g];
         }
         if (total <= 0) continue;

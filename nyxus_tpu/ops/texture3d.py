@@ -100,7 +100,13 @@ def glcm3d_all(levels, aabb, vmin, vmax, offset: int, ng: int,
     M = jnp.stack(mats, axis=1)
     if symmetric:
         M = M + jnp.swapaxes(M, -1, -2)
+    return glcm3d_finalize(M, vmin, vmax, greyinfo, noval, dtype, ng_val)
 
+
+def glcm3d_finalize(M, vmin, vmax, greyinfo, noval, dtype, ng_val=None):
+    """Features from prebuilt [B, 13, ng, ng] direction matrices (shared by
+    the dense path above and the slice-streamed oversized path)."""
+    ng = M.shape[-1]
     out = glcm2d.glcm_features_from_matrix(M, ng, noval, ng_val)
     from . import quant
     degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)
@@ -281,6 +287,16 @@ def gldzm3d_all(levels, valid, heights, widths, roi_area, vmin, vmax,
     zd = zd_i.astype(dtype)
     gnz = zlev > 0
     wz = (ok & gnz).astype(dtype)
+    maxd = levels.shape[2] + levels.shape[3] + 2.0
+    return gldzm3d_from_zones(zlev, zd, wz, roi_area, vmin, vmax, noval,
+                              dtype, maxd)
+
+
+def gldzm3d_from_zones(zlev, zd, wz, roi_area, vmin, vmax, noval, dtype,
+                       maxd):
+    """18 GLDZM statistics from per-zone (level, min-dist) lists [B, Z]
+    (shared by the dense path above and the slice-streamed oversized
+    path)."""
     ns = jnp.sum(wz, axis=1)
     s = jnp.maximum(ns, 1)
     inv = lambda x: 1.0 / jnp.where(x > 0, x, 1)
@@ -311,7 +327,6 @@ def gldzm3d_all(levels, valid, heights, widths, roi_area, vmin, vmax,
     out["GLDZM_ZDM"] = zdm
     out["GLDZM_GLV"] = jnp.sum(wz * (zlev - glm[:, None]) ** 2, axis=1) / s
     out["GLDZM_ZDV"] = jnp.sum(wz * (zd - zdm[:, None]) ** 2, axis=1) / s
-    maxd = levels.shape[2] + levels.shape[3] + 2.0
     key = jnp.where(wz > 0, zlev * maxd + zd, inf)
     _, cnt_c, v_c = zones2d.grouped_run_counts(key)
     EPS = 2.2e-16  # 3d_glszm.h:129 / 3d_gldzm.h:67
@@ -417,6 +432,15 @@ def ngldm3d_all(intens, aabb, vmax, n_levels: int, nmax: int, ibsi: bool,
 
     # unique-value LUT U: values present anywhere in the AABB cube
     present = masked_bincount(lev_idx, inb.reshape(B, -1).astype(dtype), nb) > 0
+    return ngldm3d_from_matrix(P, present, vmin, vmax, noval, dtype)
+
+
+def ngldm3d_from_matrix(P, present, vmin, vmax, noval, dtype):
+    """19 NGLDM statistics from the [B, nb, 27] dependence matrix + the
+    cube's present-value mask (shared with the slice-streamed oversized
+    path)."""
+    nb = P.shape[1]
+    NR = P.shape[2]
     ordinal = jnp.cumsum(present.astype(dtype), axis=1)       # 1-based rank in U
 
     ns = jnp.sum(P, axis=(1, 2))                              # includes j=0 col

@@ -813,6 +813,7 @@ def circle_features(hc, cfg):
     cenx = hc.get_feature("CENTROID_X")
     ceny = hc.get_feature("CENTROID_Y")
     gpts = []
+    counts = np.zeros(n, np.int64)
     for i, r in enumerate(hc.recs):
         K = hc.contours[i]
         if K is None or K.shape[0] == 0:
@@ -823,13 +824,21 @@ def circle_features(hc, cfg):
         pts[:, 0] += r.x0
         pts[:, 1] += r.y0
         gpts.append(pts)
+        counts[i] = len(pts)
+    rows = np.nonzero(counts)[0]
+    if len(rows):
         # inscribing/circumscribing: distances to centroid-1
-        # (circle.cpp:219-244)
-        dx = pts[:, 0] - (cenx[i] - 1)
-        dy = pts[:, 1] - (ceny[i] - 1)
-        d = np.sqrt(dx * dx + dy * dy)
-        out["DIAMETER_INSCRIBING_CIRCLE"][i] = 2 * d.min()
-        out["DIAMETER_CIRCUMSCRIBING_CIRCLE"][i] = 2 * d.max()
+        # (circle.cpp:219-244), one flat reduceat instead of per-ROI loops
+        flat = np.concatenate([gpts[i] for i in rows])
+        rep = np.repeat(rows, counts[rows])
+        dx = flat[:, 0] - (cenx[rep] - 1)
+        dy = flat[:, 1] - (ceny[rep] - 1)
+        d = dx * dx + dy * dy
+        starts = np.concatenate([[0], np.cumsum(counts[rows])[:-1]])
+        out["DIAMETER_INSCRIBING_CIRCLE"][rows] = \
+            2 * np.sqrt(np.minimum.reduceat(d, starts))
+        out["DIAMETER_CIRCUMSCRIBING_CIRCLE"][rows] = \
+            2 * np.sqrt(np.maximum.reduceat(d, starts))
     if native.available():
         out["DIAMETER_MIN_ENCLOSING_CIRCLE"] = \
             native.min_enclosing_circles(gpts)

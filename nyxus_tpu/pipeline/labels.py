@@ -74,9 +74,43 @@ def aniso_bbox(rec: RoiRecord, ax: float, ay: float,
                      report_bbox=report)
 
 
+def discover_rois_clouds(intens: np.ndarray, labels: np.ndarray):
+    """discover_rois + concatenated raster-order pixel clouds per label
+    (native one-pass kernel; clouds is None on the numpy fallback).
+    Returns (records, slide_min, slide_max, clouds)."""
+    from .. import native
+    if native.available():
+        rm, fmm, smin, smax, clouds = native.discover(labels, intens,
+                                                      want_clouds=True)
+        recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                          int(r[4]), int(r[5]), float(fmm[i, 0]),
+                          float(fmm[i, 1])) for i, r in enumerate(rm)]
+        if not recs:
+            return recs, float(np.asarray(intens).min(initial=0)), \
+                float(np.asarray(intens).max(initial=0)), None
+        return recs, smin, smax, clouds
+    recs, smin, smax = discover_rois(intens, labels)
+    return recs, smin, smax, None
+
+
 def discover_rois(intens: np.ndarray, labels: np.ndarray):
     """Find all nonzero labels and their metrics. Returns (records, slide_min,
     slide_max) with records sorted by ascending label."""
+    from .. import native
+    if native.available():
+        rm, fmm, smin, smax, _ = native.discover(labels, intens)
+        recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                          int(r[4]), int(r[5]), float(fmm[i, 0]),
+                          float(fmm[i, 1])) for i, r in enumerate(rm)]
+        if not recs:
+            return recs, float(np.asarray(intens).min(initial=0)), \
+                float(np.asarray(intens).max(initial=0))
+        return recs, smin, smax
+    return _discover_rois_np(intens, labels)
+
+
+def _discover_rois_np(intens: np.ndarray, labels: np.ndarray):
+    """Vectorized numpy fallback (parity oracle for the native kernel)."""
     labels = np.asarray(labels)
     intens = np.asarray(intens)
     H, W = labels.shape

@@ -169,16 +169,36 @@ class HostContext:
         return self._points[i]
 
 
-def _build_clouds(recs, host_rows, over_set, resident, padded_crop):
+def _build_clouds(recs, host_rows, over_set, resident, padded_crop,
+                  pre=None):
     """Concatenated per-ROI pixel clouds (global raster order) for the
     batched native geometry pass: (gx, gy, inten, offsets) aligned with
-    ``host_rows``.  Resident pairs use ONE whole-slide nonzero + stable
-    label sort instead of per-ROI crops; oversized rows get empty clouds."""
+    ``host_rows``.  ``pre`` = (gx, gy, inten, offsets, label->idx) from the
+    native discovery pass (one image scan, no numpy sort); otherwise
+    resident pairs use one whole-slide nonzero + stable label sort, and
+    streamed pairs read per-ROI crops.  Oversized rows get empty clouds."""
     from . import batching
     n = len(host_rows)
     off = np.zeros(n + 1, np.int64)
     gx_p, gy_p, it_p = [], [], []
-    if resident is not None:
+    if pre is not None:
+        gx0, gy0, gi0, off0, lab2k = pre
+        if (not over_set and n == len(lab2k)
+                and host_rows == list(range(len(recs)))
+                and all(lab2k.get(recs[i].label) == i for i in host_rows)):
+            return gx0, gy0, gi0, off0   # zero-copy: full set in order
+        for j, i in enumerate(host_rows):
+            r = recs[i]
+            k = lab2k.get(r.label)
+            if i in over_set or k is None:
+                off[j + 1] = off[j]
+                continue
+            a, b = int(off0[k]), int(off0[k + 1])
+            off[j + 1] = off[j] + (b - a)
+            gx_p.append(gx0[a:b])
+            gy_p.append(gy0[a:b])
+            it_p.append(gi0[a:b])
+    elif resident is not None:
         intens, label_img = resident
         ys, xs = np.nonzero(label_img)
         labs = label_img[ys, xs]
@@ -280,7 +300,8 @@ class PairRunner:
     # public entry points
 
     def run(self, intens: np.ndarray, label_img: np.ndarray,
-            blacklist=None, fname: str = "", wholeslide: bool = False):
+            blacklist=None, fname: str = "", wholeslide: bool = False,
+            async_collect: bool = False):
         """In-memory pair. Returns (labels[int], values[N, n_out]) for all
         ROIs, ascending label order. Unassigned features hold -0.0
         (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
@@ -289,7 +310,9 @@ class PairRunner:
         if self.cfg.mergerois:
             label_img = (label_img != 0).astype(np.int64)
         with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
-            all_recs, smin, smax = labels.discover_rois(intens, label_img)
+            all_recs, smin, smax, pre_clouds = \
+                labels.discover_rois_clouds(intens, label_img)
+        cloud_src = all_recs
         if wholeslide and len(all_recs) == 1:
             # the reference's virtual whole-slide ROI uses an INCLUSIVE
             # 0..W, 0..H AABB (init_from_wh, aabb.h:53-59): a (W+1)x(H+1)
@@ -307,17 +330,26 @@ class PairRunner:
                             intens.shape[1] - 1)
             intens = np.ascontiguousarray(intens[pr][:, pc])
             label_img = np.ascontiguousarray(label_img[pr][:, pc])
-            vrecs, _, _ = labels.discover_rois(intens, label_img)
+            # clouds come from the VIRTUAL slide (every later pixel read is
+            # virtual); the physical clouds above are discarded
+            vrecs, _, _, pre_clouds = \
+                labels.discover_rois_clouds(intens, label_img)
+            cloud_src = vrecs
             nat = {r.label: (r.y0, r.y1, r.x0, r.x1) for r in vrecs}
             all_recs = [labels.aniso_bbox(r, ax, ay, nat.get(r.label))
                         for r in all_recs]
+        if pre_clouds is not None:
+            pre_clouds = pre_clouds + (
+                {r.label: k for k, r in enumerate(cloud_src)},)
         source = ArrayPairSource(intens, label_img)
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=(intens, label_img),
-                              wholeslide=wholeslide)
+                              wholeslide=wholeslide, pre_clouds=pre_clouds,
+                              async_collect=async_collect)
 
     def run_streamed(self, source, blacklist=None, fname: str = "",
-                     tile: int = 2048, wholeslide: bool = False):
+                     tile: int = 2048, wholeslide: bool = False,
+                     async_collect: bool = False):
         """File-backed pair: tile-streamed discovery + per-batch region
         reads; the slide never fully materializes in host or device RAM."""
         if self.cfg.mergerois:
@@ -337,12 +369,14 @@ class PairRunner:
             all_recs = [labels.aniso_bbox(r, ax, ay, nat.get(r.label))
                         for r in all_recs]
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
-                              resident=None, wholeslide=wholeslide)
+                              resident=None, wholeslide=wholeslide,
+                              async_collect=async_collect)
 
     # ------------------------------------------------------------------
 
     def _run_core(self, all_recs, smin, smax, source, blacklist, fname,
-                  resident, wholeslide: bool = False):
+                  resident, wholeslide: bool = False, pre_clouds=None,
+                  async_collect: bool = False):
         if blacklist is not None and blacklist.defined:
             recs = [r for r in all_recs
                     if not blacklist.check(fname, r.label)]
@@ -353,7 +387,8 @@ class PairRunner:
         values = np.full((n, self.n_values), -0.0, dtype=np.float64)
         if n == 0:
             out = np.full((len(all_recs), len(self._out_cols)), -0.0)
-            return labs_all, out
+            return (labs_all, (lambda: out)) if async_collect \
+                else (labs_all, out)
 
         # trivial/oversized split (reference RAM gate,
         # workflow_2d_segmented.cpp:124-139): oversized ROIs take the
@@ -470,7 +505,8 @@ class PairRunner:
                 # heavy feature groups run later, overlapping device exec
                 with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
                     hc.clouds = _build_clouds(recs, host_rows, over_set,
-                                              resident, padded_crop)
+                                              resident, padded_crop,
+                                              pre=pre_clouds)
                     from . import hostfeats
                     from ..ops.moments import WEIGHTING_EPSILON
                     hostfeats.compute_geom(
@@ -667,73 +703,83 @@ class PairRunner:
                         phase="rest")
             run_host(pre_host)
 
-        with stopwatch("Pipeline/Phase2_collect/#33aa99"):
-            if fused_out is not None:
-                packed = np.asarray(jax.device_get(fused_out))
-                layout = _BUCKET_LAYOUTS[fused_key]
-                row0 = 0
-                for idxs, args in fused:
-                    bq = int(args[0].shape[0])
-                    self._scatter(values, idxs,
-                                  _unpack_bucket(packed[row0:row0 + len(idxs)],
-                                                 layout))
-                    row0 += bq
-            if pending:
-                fetched = jax.device_get([out for _, _, out in pending])
-                for (idxs, lkey, _), packed in zip(pending, fetched):
-                    self._scatter(values, idxs,
-                                  _unpack_bucket(packed[:len(idxs)],
-                                                 _BUCKET_LAYOUTS[lkey]))
+        def finish():
+            """Collect device results and run the device-dependent tail.
+            Split out so a caller can overlap the NEXT pair's host stages
+            with THIS pair's (asynchronous) device execution."""
+            with stopwatch("Pipeline/Phase2_collect/#33aa99"):
+                if fused_out is not None:
+                    packed = np.asarray(jax.device_get(fused_out))
+                    layout = _BUCKET_LAYOUTS[fused_key]
+                    row0 = 0
+                    for idxs, args in fused:
+                        bq = int(args[0].shape[0])
+                        self._scatter(
+                            values, idxs,
+                            _unpack_bucket(packed[row0:row0 + len(idxs)],
+                                           layout))
+                        row0 += bq
+                if pending:
+                    fetched = jax.device_get([out for _, _, out in pending])
+                    for (idxs, lkey, _), packed in zip(pending, fetched):
+                        self._scatter(values, idxs,
+                                      _unpack_bucket(packed[:len(idxs)],
+                                                     _BUCKET_LAYOUTS[lkey]))
 
-        # oversized ROIs: streamed sufficient-statistic pass per ROI
-        # (reference phase 3, phase3.cpp:24-127).  Host-only families
-        # (chords, radius, radial) are included: their streamed variants
-        # consume the streamed contour
-        over_fams = registry.activated_families(self.fset)
-        for i in over_rows:
-            with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
-                res = ovs.process(recs[i], source, self.cfg, over_fams,
-                                  smin, smax,
-                                  contour=(contours[i] if contours is not None
-                                           else None))
-            res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
-                   for fam, mem in res.items()}
-            self._scatter(values, [i], res)
+            # oversized ROIs: streamed sufficient-statistic pass per ROI
+            # (reference phase 3, phase3.cpp:24-127).  Host-only families
+            # (chords, radius, radial) are included: their streamed variants
+            # consume the streamed contour
+            over_fams = registry.activated_families(self.fset)
+            for i in over_rows:
+                with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
+                    res = ovs.process(recs[i], source, self.cfg, over_fams,
+                                      smin, smax,
+                                      contour=(contours[i]
+                                               if contours is not None
+                                               else None))
+                res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
+                       for fam, mem in res.items()}
+                self._scatter(values, [i], res)
 
-        # device-dependent host families (circles, geodetic, neighbors,
-        # hexagonality read centroids/areas computed device-side).
-        # Oversized ROIs are excluded (no contour/dense crop); their host
-        # members stay unassigned.
-        if hc is not None:
-            run_host(post_host)
+            # device-dependent host families (circles, geodetic, neighbors,
+            # hexagonality read centroids/areas computed device-side).
+            # Oversized ROIs are excluded (no contour/dense crop); their
+            # host members stay unassigned.
+            if hc is not None:
+                run_host(post_host)
 
-        # anisotropy: BBOX_* report the apply_anisotropy-scaled AABB even
-        # though the crop box was widened to cover out-of-AABB member pixels
-        # (basic_morphology.cpp:33-37 reads r.aabb, not the pixel extent)
-        for j, r in enumerate(recs):
-            if r.report_bbox is None:
-                continue
-            ry0, ry1, rx0, rx1 = r.report_bbox
-            w, h = float(rx1 - rx0 + 1), float(ry1 - ry0 + 1)
-            for member, v in (("BBOX_XMIN", float(rx0)),
-                              ("BBOX_YMIN", float(ry0)),
-                              ("BBOX_WIDTH", w), ("BBOX_HEIGHT", h),
-                              ("EXTENT", r.area / (w * h)),
-                              ("ASPECT_RATIO", w / h)):
-                code = tx.NAME2CODE_2D.get(member)
-                if code in self.member_slots:
-                    off, _ = self.member_slots[code]
-                    values[j, off] = v
+            # anisotropy: BBOX_* report the apply_anisotropy-scaled AABB
+            # even though the crop box was widened to cover out-of-AABB
+            # member pixels (basic_morphology.cpp:33-37 reads r.aabb)
+            for j, r in enumerate(recs):
+                if r.report_bbox is None:
+                    continue
+                ry0, ry1, rx0, rx1 = r.report_bbox
+                w, h = float(rx1 - rx0 + 1), float(ry1 - ry0 + 1)
+                for member, v in (("BBOX_XMIN", float(rx0)),
+                                  ("BBOX_YMIN", float(ry0)),
+                                  ("BBOX_WIDTH", w), ("BBOX_HEIGHT", h),
+                                  ("EXTENT", r.area / (w * h)),
+                                  ("ASPECT_RATIO", w / h)):
+                    code = tx.NAME2CODE_2D.get(member)
+                    if code in self.member_slots:
+                        off, _ = self.member_slots[code]
+                        values[j, off] = v
 
-        if len(recs) != len(all_recs):
-            # reinsert blacklisted rows with unassigned values
-            out = np.full((len(all_recs), len(self._out_cols)), -0.0)
-            kept_idx = {r.label: i for i, r in enumerate(recs)}
-            for j, r in enumerate(all_recs):
-                if r.label in kept_idx:
-                    out[j] = values[kept_idx[r.label], self._out_cols]
-            return labs_all, out
-        return labs_all, values[:, self._out_cols]
+            if len(recs) != len(all_recs):
+                # reinsert blacklisted rows with unassigned values
+                out = np.full((len(all_recs), len(self._out_cols)), -0.0)
+                kept_idx = {r.label: i for i, r in enumerate(recs)}
+                for j, r in enumerate(all_recs):
+                    if r.label in kept_idx:
+                        out[j] = values[kept_idx[r.label], self._out_cols]
+                return out
+            return values[:, self._out_cols]
+
+        if async_collect:
+            return labs_all, finish
+        return labs_all, finish()
 
     def _scatter(self, values, idxs, out):
         """Place family outputs into the row value matrix."""
