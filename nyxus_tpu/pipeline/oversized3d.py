@@ -198,7 +198,6 @@ class Zones3DAccum:
                 for (ps, pe, plev, pnode) in prev_row:
                     if plev != levv:
                         continue
-                    lo = max(s + min(offs), ps)
                     if (ps <= e + max(offs)) and (pe >= s + min(offs)):
                         self._union(node, pnode)
             rows.append(runs)
@@ -260,14 +259,14 @@ def _border_distance_np(lev, h, w):
     zero = lev == 0
     NEG, POS = -(1 << 30), (1 << 30)
     zl = np.maximum.accumulate(np.where(zero, xs, NEG), axis=1)
-    zl = _shift2(zl, 0, 1, fill=NEG)
+    zl = _shift2(zl, 0, -1, fill=NEG)             # strictly left
     zr = np.minimum.accumulate(np.where(zero, xs, POS)[:, ::-1],
                                axis=1)[:, ::-1]
-    zr = _shift2(zr, 0, -1, fill=POS)
+    zr = _shift2(zr, 0, 1, fill=POS)              # strictly right
     zt = np.maximum.accumulate(np.where(zero, ys, NEG), axis=0)
-    zt = _shift2(zt, 1, 0, fill=NEG)
+    zt = _shift2(zt, -1, 0, fill=NEG)
     zb = np.minimum.accumulate(np.where(zero, ys, POS)[::-1], axis=0)[::-1]
-    zb = _shift2(zb, -1, 0, fill=POS)
+    zb = _shift2(zb, 1, 0, fill=POS)
     d = np.minimum(np.minimum(np.minimum(xs - zl, xs),
                               np.minimum(zr - xs, (w - 1) - xs)),
                    np.minimum(np.minimum(ys - zt, ys),
@@ -548,7 +547,7 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
     j = lambda a: jnp.asarray(np.asarray(a, np.float64)[None])
     vmin1 = jnp.asarray([rec.vmin], dtype)
     vmax1 = jnp.asarray([rec.vmax], dtype)
-    to_scalar = lambda d: {k: float(np.asarray(v)[0]) for k, v in d.items()}
+    to_scalar = lambda d: {k: np.asarray(v)[0] for k, v in d.items()}
 
     if "D3_VoxelIntensityFeatures" in want and hist.area:
         from ..ops.intensity import pixel_intensity_features

@@ -291,14 +291,46 @@ class VolumeRunner:
         if n == 0:
             return np.zeros(0, np.int64), values
 
+        # trivial/oversized triage (reference RAM gate; 3D phase 3 runs
+        # every family's osized_calculate, phase3.cpp:94-114)
+        from . import oversized3d as ov3
+        budget = self.cfg.ram_limit_mb << 20
+        over_rows = [i for i, r in enumerate(recs)
+                     if ov3.is_oversized3d(r, budget)]
+        over_set = set(over_rows)
+        if over_rows:
+            fams = list(self.families)
+            if self.need_surface:
+                fams.append("D3_SurfaceFeature")
+            if self.fset.any_enabled(
+                    tx.CLASS_FEATURES["D3_VoxelIntensityFeatures"]):
+                fams.append("D3_VoxelIntensityFeatures")
+            for i in over_rows:
+                res = ov3.process3d(recs[i], intens, label_img, self.cfg,
+                                    set(fams), smin, smax)
+                for members in res.values():
+                    for member, v in members.items():
+                        code = tx.F3D.get(member)
+                        if code is None or code not in self.member_slots:
+                            continue
+                        off, width = self.member_slots[code]
+                        arr = np.atleast_1d(np.asarray(v, np.float64))
+                        w = min(width, arr.size)
+                        values[i, off:off + w] = arr[:w]
+
         dtype = jnp.float64 if self.cfg.precision == "f64" else jnp.float32
         # bucket by padded (D, H, W)
         import collections
         buckets = collections.defaultdict(list)
         for i, r in enumerate(recs):
+            if i in over_set:
+                continue
             shape = (batching.pad_dim(r.depth), batching.pad_dim(r.height),
                      batching.pad_dim(r.width))
             buckets[shape].append(i)
+        if not buckets:
+            labs = np.asarray([r.label for r in recs], np.int64)
+            return labs, values
 
         maxd = max(s[0] for s in buckets)
         maxh = max(s[1] for s in buckets)
@@ -358,17 +390,19 @@ class VolumeRunner:
                     values[rows, off:off + w] = arr[:, :w]
 
         if self.need_surface:
-            self._surface(values, recs, label_img)
+            self._surface(values, recs, label_img, skip=over_set)
 
         labs = np.asarray([r.label for r in recs], np.int64)
         return labs, values
 
-    def _surface(self, values, recs, label_img):
+    def _surface(self, values, recs, label_img, skip=frozenset()):
         """D3_SurfaceFeature host computation (3d_surface.cpp:?)."""
         import math
         from scipy.spatial import ConvexHull, QhullError
 
         for i, r in enumerate(recs):
+            if i in skip:   # oversized rows: streamed in oversized3d
+                continue
             m = label_img[r.z0:r.z1 + 1, r.y0:r.y1 + 1, r.x0:r.x1 + 1] == r.label
             zz, yy, xx = np.nonzero(m)
             n = len(zz)

@@ -125,3 +125,102 @@ def test_aniso_bbox_and_area_semantics(frames):
         b = ref[c].to_numpy(float)
         denom = np.maximum(np.abs(b), 1e-8)
         assert float(np.quantile(np.abs(a - b) / denom, 0.9)) < TOL, c
+
+
+def test_aniso_identity_invariance(monkeypatch):
+    """aniso == (1, 1) forced through the anisotropy code path must
+    reproduce the no-aniso run EXACTLY for every *ALL* column -- including
+    the matrix-fed families excluded from the binary-fixture comparison
+    above (VERDICT r2 next-step #5: intentionally-divergent families must
+    not be test-free)."""
+    intens, labels = bench.make_dsb_like(h=256, w=256, n_blobs=25, seed=5)
+    fset = tx.parse_feature_request(["*ALL*"])
+    base_labs, base_vals = PairRunner(
+        fset, EngineConfig(precision="f64")).run(intens, labels)
+    monkeypatch.setattr(EngineConfig, "aniso_customized",
+                        property(lambda self: True))
+    labs2, vals2 = PairRunner(
+        fset, EngineConfig(precision="f64")).run(intens, labels)
+    np.testing.assert_array_equal(base_labs, labs2)
+    np.testing.assert_allclose(vals2, base_vals, rtol=0, atol=0)
+
+
+def test_aniso_texture_virtual_oracle():
+    """GLCM/GLRLM under anisotropy against an independent oracle computed
+    on the nearest-neighbor-resampled virtual slide: this engine's
+    documented aniso-texture semantics (clean virtual pixel set over the
+    widened crop box, PHYSICAL aux vmax for binning) -- the reference's own
+    matrix feed goes out of bounds there (image_matrix.h:298-303)."""
+    import oracle_glcm
+    import oracle_glrlm
+    from nyxus_tpu.pipeline import labels as L
+    from nyxus_tpu.pipeline import batching
+
+    ax, ay = 1.4, 0.75
+    intens, labels = bench.make_dsb_like(h=160, w=160, n_blobs=8, seed=3)
+    cfg = EngineConfig(precision="f64", aniso_x=ax, aniso_y=ay)
+    fset = tx.parse_feature_request(["*ALL_GLCM*", "*ALL_GLRLM*"])
+    labs, vals = PairRunner(fset, cfg).run(intens, labels)
+    hdr, _ = col.build_header(fset, EngineConfig())
+    ours = pd.DataFrame(vals, columns=hdr[4:])
+    ours["ROI_label"] = labs
+
+    H, W = intens.shape
+    vH, vW = int(H * ay), int(W * ax)
+    pr = np.minimum((np.arange(vH) / ay).astype(np.int64), H - 1)
+    pc = np.minimum((np.arange(vW) / ax).astype(np.int64), W - 1)
+    V_I = intens[pr][:, pc]
+    V_L = labels[pr][:, pc]
+    phys, _, _ = L._discover_rois_np(intens, labels)
+    virt, _, _ = L._discover_rois_np(V_I, V_L)
+    nat = {r.label: (r.y0, r.y1, r.x0, r.x1) for r in virt}
+
+    ng = 64
+    checked = 0
+    for k, r0 in enumerate(phys):
+        rr = L.aniso_bbox(r0, ax, ay, nat.get(r0.label))
+        ci = V_I[rr.y0:rr.y1 + 1, rr.x0:rr.x1 + 1].astype(np.float64)
+        cl = V_L[rr.y0:rr.y1 + 1, rr.x0:rr.x1 + 1]
+        img = np.where(cl == rr.label, ci, 0.0)
+        # PHYSICAL aux vmax drives the binning (aniso quirk)
+        if r0.vmax <= r0.vmin:
+            continue
+        lev = np.vectorize(
+            lambda v: oracle_glcm.bin_matlab(v, r0.vmax, ng))(img)
+        row = ours[ours.ROI_label == r0.label].iloc[0]
+        # GLCM: pair counts with background skipped, angled members
+        for ai, ang in enumerate((0, 45, 90, 135)):
+            dx, dy = oracle_glcm.ANGLE_OFFSETS[ang]
+            h, w = img.shape
+            M = np.zeros((ng, ng))
+            for y in range(h):
+                for x in range(w):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        if img[y, x] == 0 or img[yy, xx] == 0:
+                            continue
+                        M[lev[yy, xx] - 1, lev[y, x] - 1] += 1
+            feats = oracle_glcm.glcm_features(M, ng)
+            for m, v in feats.items():
+                col_name = "%s_%d" % (m, ang)
+                if col_name in ours.columns:
+                    np.testing.assert_allclose(
+                        row[col_name], v, rtol=1e-6, atol=1e-9,
+                        err_msg="%s label %d" % (col_name, r0.label))
+                    checked += 1
+        # GLRLM: background participates (level 1), Np = virtual nonzero
+        hb, wb = batching.bucket_shape(rr.height, rr.width)
+        nr = max(hb, wb)
+        npx = int((img > 0).sum())
+        for ai, ang in enumerate((0, 45, 90, 135)):
+            P = oracle_glrlm.run_matrix(lev, np.ones_like(lev, bool), ang,
+                                        ng, nr)
+            feats = oracle_glrlm.glrlm_features(P, npx)
+            for m, v in feats.items():
+                col_name = "%s_%d" % (m, ang)
+                if col_name in ours.columns:
+                    np.testing.assert_allclose(
+                        row[col_name], v, rtol=1e-6, atol=1e-9,
+                        err_msg="%s label %d" % (col_name, r0.label))
+                    checked += 1
+    assert checked > 500, "oracle comparison covered too little"
