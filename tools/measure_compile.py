@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Measure FRESH-CACHE compile time for the *ALL* and *3D_ALL* megakernels
+(VERDICT r2 next-step #9: fresh-cache cost was unmeasured).
+
+Runs each workload in a subprocess with a THROWAWAY compilation-cache dir so
+nothing warm leaks in, then once more with the warm dir to report the
+persistent-cache reload cost.  Writes COMPILE_TIMES.json at the repo root.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SNIPPET_2D = """
+import sys, time; sys.path.insert(0, %(root)r)
+import jax
+jax.config.update("jax_compilation_cache_dir", %(cache)r)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+import bench
+from nyxus_tpu import taxonomy as tx
+from nyxus_tpu.config import EngineConfig
+from nyxus_tpu.pipeline.runner import PairRunner
+intens, labels = bench.make_dsb_like(h=320, w=320, n_blobs=40, seed=11)
+t0 = time.perf_counter()
+PairRunner(tx.parse_feature_request(["*ALL*"]),
+           EngineConfig(precision="f32")).run(intens, labels)
+print("FIRST_RUN_SECONDS", time.perf_counter() - t0)
+"""
+
+SNIPPET_3D = """
+import sys, time, numpy as np; sys.path.insert(0, %(root)r)
+import jax
+jax.config.update("jax_compilation_cache_dir", %(cache)r)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+from nyxus_tpu import taxonomy as tx
+from nyxus_tpu.config import EngineConfig
+from nyxus_tpu.pipeline.runner3d import VolumeRunner
+r = np.random.default_rng(0)
+ii = r.integers(1, 400, (24, 28, 30)).astype(np.uint16)
+ll = np.zeros((24, 28, 30), np.int32); ll[4:20, 4:24, 4:26] = 1
+t0 = time.perf_counter()
+VolumeRunner(tx.parse_feature_request(["*3D_ALL*"], dim=3),
+             EngineConfig(precision="f32")).run(ii, ll)
+print("FIRST_RUN_SECONDS", time.perf_counter() - t0)
+"""
+
+
+def run(snippet, cache):
+    t0 = time.perf_counter()
+    p = subprocess.run([sys.executable, "-c",
+                        snippet % dict(root=HERE, cache=cache)],
+                       capture_output=True, text=True, timeout=3600)
+    wall = time.perf_counter() - t0
+    first = None
+    for line in p.stdout.splitlines():
+        if line.startswith("FIRST_RUN_SECONDS"):
+            first = float(line.split()[1])
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr[-2000:])
+        raise SystemExit("workload failed")
+    return wall, first
+
+
+def main():
+    out = {}
+    for name, snip in (("ALL_2d", SNIPPET_2D), ("ALL_3d", SNIPPET_3D)):
+        with tempfile.TemporaryDirectory() as fresh:
+            wall_f, first_f = run(snip, fresh)
+            wall_w, first_w = run(snip, fresh)   # warm persistent cache
+        out[name] = {
+            "fresh_cache_first_run_s": round(first_f, 2),
+            "fresh_cache_process_wall_s": round(wall_f, 2),
+            "warm_cache_first_run_s": round(first_w, 2),
+            "warm_cache_process_wall_s": round(wall_w, 2),
+        }
+        print(name, out[name])
+    with open(os.path.join(HERE, "COMPILE_TIMES.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
