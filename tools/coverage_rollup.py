@@ -39,42 +39,57 @@ from nyxus_tpu import taxonomy as tx  # noqa: E402
 TESTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests")
 
-# oracle kind per test module; modules marked "mechanics" are excluded from
-# coverage (they do not assert feature VALUES)
+# per test module: (oracle, kind, configs).  ``configs`` is the engine
+# configuration dimension of the vetting triple (feature x config x oracle)
+# the reference SPEC tracks (tests/vetting/SPEC.md sections 1-3): a module
+# contributes coverage rows only for the configurations its assertions run
+# under.  Modules marked "mechanics" are excluded from coverage (they do
+# not assert feature VALUES).
+CONFIGS = ("default", "ibsi", "radiomics-bin", "hu", "aniso", "wholeslide",
+           "oversized", "f32-chip")
 ORACLE_OF = {
-    "test_intensity.py": ("numpy-oracle", "oracle"),
-    "test_ih.py": ("numpy-oracle", "oracle"),
-    "test_glcm.py": ("numpy-oracle+IBSI-convention", "oracle"),
-    "test_glrlm.py": ("numpy-oracle", "oracle"),
-    "test_zones.py": ("numpy-oracle", "oracle"),
-    "test_neigh_tex.py": ("numpy-oracle", "oracle"),
-    "test_texture3d.py": ("numpy-oracle", "oracle"),
-    "test_morphology.py": ("analytic+skimage-convention", "oracle"),
-    "test_geometry.py": ("analytic", "oracle"),
-    "test_gabor_zernike.py": ("numpy-oracle", "oracle"),
-    "test_imq.py": ("numpy-oracle", "oracle"),
-    "test_chords_vec.py": ("loop-oracle-bitparity", "oracle"),
-    "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden"),
-    "test_reference_parity.py": ("reference-binary-csv", "golden"),
-    "test_aniso.py": ("reference-binary-csv", "golden"),
-    "test_tpu_device.py": ("cpu-f64-crosscheck", "invariant"),
-    "test_oversized.py": ("trivial-path-parity", "invariant"),
-    "test_surface3d.py": ("analytic", "oracle"),
-    "test_nested.py": ("analytic", "oracle"),
-    "test_parallel.py": ("single-device-parity", "invariant"),
+    "test_intensity.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_ih.py": ("numpy-oracle", "oracle", ("ibsi", "hu")),
+    "test_glcm.py": ("numpy-oracle+IBSI-convention", "oracle",
+                     ("default", "ibsi", "radiomics-bin")),
+    "test_glrlm.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_zones.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_neigh_tex.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_texture3d.py": ("numpy-oracle", "oracle", ("default", "ibsi")),
+    "test_morphology.py": ("analytic+skimage-convention", "oracle",
+                           ("default",)),
+    "test_geometry.py": ("analytic", "oracle", ("default",)),
+    "test_gabor_zernike.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_imq.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_chords_vec.py": ("loop-oracle-bitparity", "oracle", ("default",)),
+    "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden", ("ibsi",)),
+    "test_reference_parity.py": ("reference-binary-csv", "golden",
+                                 ("default",)),
+    "test_aniso.py": ("reference-binary-csv+virtual-oracle", "golden",
+                      ("aniso",)),
+    "test_wholeslide_parity.py": ("reference-binary-csv", "golden",
+                                  ("wholeslide",)),
+    "test_tpu_device.py": ("cpu-f64-crosscheck", "invariant",
+                           ("f32-chip",)),
+    "test_oversized.py": ("trivial-path-parity", "invariant",
+                          ("oversized", "radiomics-bin")),
+    "test_surface3d.py": ("analytic", "oracle", ("default",)),
+    "test_nested.py": ("analytic", "oracle", ("default",)),
+    "test_parallel.py": ("single-device-parity", "invariant", ("default",)),
     # mechanics-only modules: NO feature-value assertions -> no coverage
-    "test_native.py": ("roundtrip", "mechanics"),
-    "test_formats.py": ("roundtrip", "mechanics"),
-    "test_io_cli.py": ("end-to-end", "mechanics"),
-    "test_api_params.py": ("api-contract", "mechanics"),
-    "test_taxonomy.py": ("enum-contract", "mechanics"),
+    "test_native.py": ("roundtrip", "mechanics", ()),
+    "test_formats.py": ("roundtrip", "mechanics", ()),
+    "test_io_cli.py": ("end-to-end", "mechanics", ()),
+    "test_api_params.py": ("api-contract", "mechanics", ()),
+    "test_taxonomy.py": ("enum-contract", "mechanics", ()),
 }
 
 # modules that assert EVERY column produced by an expanded group request
 # (a per-column numeric assert_allclose loop), so nickname expansion is an
 # honest claim of per-feature numeric coverage
 NICK_OK = {"test_reference_parity.py", "test_tpu_device.py",
-           "test_oversized.py", "test_aniso.py"}
+           "test_oversized.py", "test_aniso.py",
+           "test_wholeslide_parity.py"}
 
 _NICK_RE = re.compile(r'"(\*[A-Z0-9_]+\*)"')
 _NAME_RE = re.compile(r'"([A-Z0-9_]{2,})"')
@@ -120,13 +135,15 @@ def build_registry():
     for fn in sorted(os.listdir(TESTS)):
         if not fn.startswith("test_") or not fn.endswith(".py"):
             continue
-        oracle, kind = ORACLE_OF.get(fn, ("unclassified", "mechanics"))
+        oracle, kind, configs = ORACLE_OF.get(
+            fn, ("unclassified", "mechanics", ()))
         if kind == "mechanics":
             continue
         for domain, name in sorted(
                 names_in_module(os.path.join(TESTS, fn), fn in NICK_OK)):
-            rows.append((domain, name, "default", oracle, kind,
-                         "tests/" + fn))
+            for config in configs:
+                rows.append((domain, name, config, oracle, kind,
+                             "tests/" + fn))
     return rows
 
 
@@ -138,16 +155,28 @@ def rollup(rows):
     total = len(univ)
     ncov = sum(1 for u in univ if u in covered)
     print("assertion rows: %d" % len(rows))
-    print("numeric-assertion feature coverage: %d / %d (%.1f%%)" %
+    print("any-config numeric coverage: %d / %d (%.1f%%)" %
           (ncov, total, 100.0 * ncov / total))
-    by_domain = {}
-    for d, n in univ:
-        by_domain.setdefault(d, [0, 0])
-        by_domain[d][1] += 1
-        if (d, n) in covered:
-            by_domain[d][0] += 1
-    for d, (c, t) in sorted(by_domain.items()):
-        print("  %-4s %4d / %4d" % (d, c, t))
+
+    # the honest view: one column per engine CONFIGURATION.  A feature is
+    # covered in a config only when a numeric assertion runs it under that
+    # config; the single scalar above deliberately overstates nothing --
+    # the per-config matrix below is where the gaps show.
+    per_cfg = {c: {(d, n) for d, n, cfg, *_ in rows if cfg == c}
+               for c in CONFIGS}
+    print("\nper-config coverage matrix (features with a numeric assertion"
+          " under that config):")
+    hdr = "  %-4s" + "".join(" %13s" % c for c in CONFIGS)
+    print(hdr % "")
+    for dom, table in (("2D", tx.NAME2CODE_2D), ("3D", tx.NAME2CODE_3D),
+                       ("IMQ", tx.NAME2CODE_IMQ)):
+        t = len(table)
+        cells = []
+        for c in CONFIGS:
+            k = sum(1 for n in table if (dom, n) in per_cfg[c])
+            cells.append("%6d/%-6d" % (k, t))
+        print(("  %-4s" + " %13s" * len(CONFIGS)) % (dom, *cells))
+
     uncovered = [(d, n) for d, n in univ if (d, n) not in covered]
     if uncovered:
         print("uncovered features (%d):" % len(uncovered))
