@@ -207,17 +207,23 @@ class Nyxus:
         if len(intensity_names) != n_img or len(label_names) != n_img:
             raise ValueError("Number of image names must equal the number of images")
 
-        # Hounsfield-style shift + uint cast (reference: nyxus.py:469-477)
+        # Hounsfield-style shift + uint cast (reference: nyxus.py:469-477);
+        # under --preserve-hu the slope-1 offset u = round(x - floor(min))
+        # is recorded so IH_* can report in the original HU domain
         I = intensity_images
         min_raw = I.min() if I.size else 0
-        if min_raw < 0:
+        hu_off = 0.0
+        if self.cfg.preserve_hu:
+            hu_off = float(np.floor(min_raw))
+            I = np.maximum(np.round(I - hu_off), 0)
+        elif min_raw < 0:
             I = I - min_raw
         I = I.astype(np.uint32)
         M = label_images.astype(np.uint32)
 
         frames = []
         for i in range(n_img):
-            labs, values = self._runner.run(I[i], M[i])
+            labs, values = self._runner.run(I[i], M[i], hu_offset=hu_off)
             values = _force_finite(values, self.cfg.noval)
             frames.append(self._to_frame(intensity_names[i], label_names[i],
                                          labs, values))
@@ -401,7 +407,8 @@ class Nyxus:
         intens = readers.read_gray(ipath)
         labmat = (np.ones(intens.shape, np.uint32) if wholeslide
                   else readers.read_gray(lpath).astype(np.uint32))
-        return self._prep_intensity(intens), labmat
+        I, hu_off = self._prep_intensity(intens)
+        return I, labmat, hu_off
 
     def _run_pair_file(self, ipath, lpath, wholeslide, fname,
                        preloaded=None, async_collect=False):
@@ -413,10 +420,11 @@ class Nyxus:
         import os
         from .io import readers
         if preloaded is not None:
-            I, labmat = preloaded
+            I, labmat, hu_off = preloaded
             return self._runner.run(I, labmat, blacklist=self._blacklist,
                                     wholeslide=wholeslide, fname=fname,
-                                    async_collect=async_collect)
+                                    async_collect=async_collect,
+                                    hu_offset=hu_off)
         if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
             src = None
             try:
@@ -443,15 +451,23 @@ class Nyxus:
             labmat = np.ones(intens.shape, np.uint32)
         else:
             labmat = readers.read_gray(lpath).astype(np.uint32)
-        I = self._prep_intensity(intens)
+        I, hu_off = self._prep_intensity(intens)
         return self._runner.run(I, labmat, blacklist=self._blacklist,
                                 wholeslide=wholeslide,
-                                fname=fname)
+                                fname=fname, hu_offset=hu_off)
 
-    def _prep_intensity(self, intens: np.ndarray) -> np.ndarray:
+    def _prep_intensity(self, intens: np.ndarray):
+        """(offset uint image, hu_offset): the load-time float->uint map.
+        Under --preserve-hu: u = round(x - floor(slide_min)) clamped at 0
+        (reference: slideprops.h:48-66 uint_friendly_inten), with the offset
+        returned so IH_* can undo it."""
+        if self.cfg.preserve_hu and intens.size:
+            off = float(np.floor(intens.min()))
+            return np.maximum(np.round(intens - off), 0).astype(np.uint32), \
+                off
         if intens.size and intens.min() < 0:
             intens = intens - intens.min()
-        return intens.astype(np.uint32)
+        return intens.astype(np.uint32), 0.0
 
     # -- ROI blacklist (reference: nyxus.py:771-830) -----------------------
 

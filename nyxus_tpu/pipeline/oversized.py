@@ -170,15 +170,16 @@ def intensity_members(acc: OversizedAccums, slide_min, slide_max, cfg):
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
 
-def ih_members(acc: OversizedAccums, cfg, slide_min=0.0):
+def ih_members(acc: OversizedAccums, cfg, slide_min=0.0, hu_offset=0.0):
     import jax.numpy as jnp
     from ..ops.ih import MEMBERS, ih_features_from_freq
 
     if not cfg.ibsi:  # IBSI gate mirrors the trivial path (registry._ih_family)
         return {m: cfg.noval for m in MEMBERS}
-    # HU mode undoes the load-time slope-1 offset (intensity_histogram.cpp:341)
+    # HU mode undoes the load-time slope-1 offset: the ORIGINAL pre-shift
+    # slide min (intensity_histogram.cpp:341)
     pscale = 1.0
-    poffset = math.floor(slide_min) if cfg.preserve_hu else 0.0
+    poffset = hu_offset if cfg.preserve_hu else 0.0
     N = int(cfg.coarse_gray_depth)
     rng = acc.vmax - acc.vmin if acc.vmax > acc.vmin else 1.0
     idx = np.clip(np.floor((acc.vals - acc.vmin) * (N / rng)),
@@ -547,7 +548,7 @@ STREAMABLE = ("PixelIntensityFeatures", "IntensityHistogramFeatures",
 
 
 def process(rec, source, cfg, families, slide_min, slide_max,
-            block: int = 2048, contour=None):
+            block: int = 2048, contour=None, hu_offset: float = 0.0):
     """Full oversized-ROI pass.  Returns {family: {member: value}} for the
     streamable subset of ``families``.  ``contour`` is the streamed merged
     contour ([K, 3] int64, +1-shifted local coords) feeding the
@@ -574,7 +575,7 @@ def process(rec, source, cfg, families, slide_min, slide_max,
         if fam == "PixelIntensityFeatures":
             out[fam] = intensity_members(acc, slide_min, slide_max, cfg)
         elif fam == "IntensityHistogramFeatures":
-            out[fam] = ih_members(acc, cfg, slide_min)
+            out[fam] = ih_members(acc, cfg, slide_min, hu_offset)
         elif fam == "BasicMorphologyFeatures":
             cx = acc.S_shape[1, 0] / acc.area + rec.x0
             cy = acc.S_shape[0, 1] / acc.area + rec.y0

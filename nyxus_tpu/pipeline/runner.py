@@ -47,7 +47,8 @@ def _bucket_key(families, cfg, static_meta, shape, has_contour):
                                              "layout_key"))
 def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
                            widths, slide_min, slide_max, families, cfg,
-                           static_meta=(), logw=None, layout_key=None):
+                           static_meta=(), logw=None, hu_offset=None,
+                           layout_key=None):
     """Run all requested feature families over one padded ROI batch.
 
     Outputs are packed into ONE [B, total_width] device array so collection
@@ -56,7 +57,8 @@ def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
     TPU)."""
     ctx = registry.BatchContext(intens, mask, area, vmin, vmax, y0, x0,
                                 slide_min, slide_max, cfg, static_meta,
-                                heights=heights, widths=widths, logw=logw)
+                                heights=heights, widths=widths, logw=logw,
+                                hu_offset=hu_offset)
     out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
     parts = []
     layout = {}
@@ -97,7 +99,7 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
             ci, cm, meta_i[:, 0], meta_f[:, 0], meta_f[:, 1],
             meta_i[:, 1], meta_i[:, 2], meta_f[:, 2], meta_f[:, 3],
             cfg, static_meta, heights=meta_i[:, 3], widths=meta_i[:, 4],
-            logw=lw)
+            logw=lw, hu_offset=meta_f[:, 4])
         out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
         parts = []
         layout = {}
@@ -301,7 +303,7 @@ class PairRunner:
 
     def run(self, intens: np.ndarray, label_img: np.ndarray,
             blacklist=None, fname: str = "", wholeslide: bool = False,
-            async_collect: bool = False):
+            async_collect: bool = False, hu_offset: float = 0.0):
         """In-memory pair. Returns (labels[int], values[N, n_out]) for all
         ROIs, ascending label order. Unassigned features hold -0.0
         (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
@@ -345,11 +347,12 @@ class PairRunner:
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=(intens, label_img),
                               wholeslide=wholeslide, pre_clouds=pre_clouds,
-                              async_collect=async_collect)
+                              async_collect=async_collect,
+                              hu_offset=hu_offset)
 
     def run_streamed(self, source, blacklist=None, fname: str = "",
                      tile: int = 2048, wholeslide: bool = False,
-                     async_collect: bool = False):
+                     async_collect: bool = False, hu_offset: float = 0.0):
         """File-backed pair: tile-streamed discovery + per-batch region
         reads; the slide never fully materializes in host or device RAM."""
         if self.cfg.mergerois:
@@ -370,13 +373,14 @@ class PairRunner:
                         for r in all_recs]
         return self._run_core(all_recs, smin, smax, source, blacklist, fname,
                               resident=None, wholeslide=wholeslide,
-                              async_collect=async_collect)
+                              async_collect=async_collect,
+                              hu_offset=hu_offset)
 
     # ------------------------------------------------------------------
 
     def _run_core(self, all_recs, smin, smax, source, blacklist, fname,
                   resident, wholeslide: bool = False, pre_clouds=None,
-                  async_collect: bool = False):
+                  async_collect: bool = False, hu_offset: float = 0.0):
         if blacklist is not None and blacklist.defined:
             recs = [r for r in all_recs
                     if not blacklist.check(fname, r.label)]
@@ -576,7 +580,7 @@ class PairRunner:
                 cm_h[B:] = cm_h[0]
             meta_i = np.asarray([[r.area, r.y0, r.x0, r.height, r.width]
                                  for r in pad_recs], np.int32)
-            meta_f = np.asarray([[r.vmin, r.vmax, smin, smax]
+            meta_f = np.asarray([[r.vmin, r.vmax, smin, smax, hu_offset]
                                  for r in pad_recs], np_dt)
 
             lw_h = None
@@ -634,19 +638,21 @@ class PairRunner:
                               jnp.asarray(meta_i[:, 3]),
                               jnp.asarray(meta_i[:, 4]),
                               jnp.asarray(meta_f[:, 2]),
-                              jnp.asarray(meta_f[:, 3]))
+                              jnp.asarray(meta_f[:, 3]),
+                              jnp.asarray(meta_f[:, 4]))
                 # shard the ROI axis over the device mesh; padded rows
                 # (copies of row 0) are dropped at collection time
                 from ..parallel import shard_batch
                 sharded, _ = shard_batch(self.mesh, batch_args + (lw,))
                 batch_args = sharded[:11]
-                lw = sharded[11]
+                hu_arr = sharded[11]
+                lw = sharded[12]
                 bsz = int(batch_args[0].shape[0])
                 lkey = _bucket_key(self.families, self.cfg, static_meta,
                                    (bsz,) + shape, lw is not None)
                 out = _extract_bucket_packed(*batch_args,
                                              self.families, self.cfg,
-                                             static_meta, lw,
+                                             static_meta, lw, hu_arr,
                                              layout_key=lkey)
                 pending.append((idxs, lkey, out))
             else:
@@ -737,7 +743,8 @@ class PairRunner:
                                       smin, smax,
                                       contour=(contours[i]
                                                if contours is not None
-                                               else None))
+                                               else None),
+                                      hu_offset=hu_offset)
                 res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
                        for fam, mem in res.items()}
                 self._scatter(values, [i], res)

@@ -31,7 +31,11 @@ class BatchContext:
 
     def __init__(self, intens, mask, area, vmin, vmax, y0, x0,
                  slide_min, slide_max, cfg: EngineConfig, static_meta=(),
-                 heights=None, widths=None, logw=None):
+                 heights=None, widths=None, logw=None, hu_offset=None):
+        # hu_offset: [B] floor(original slide min) under --preserve-hu --
+        # the load-time slope-1 shift IH_* must undo (slideprops.h:48-66,
+        # intensity_histogram.cpp:341-372); None/0 otherwise
+        self.hu_offset = hu_offset
         # static_meta: hashable (key, value) pairs of per-batch static scalars
         # (e.g. max integer intensity for IBSI level counts)
         self.static_meta = dict(static_meta)
@@ -238,9 +242,11 @@ def _ih_family(ctx: BatchContext, cfg: EngineConfig):
         nv = jnp.full((ctx.B,), cfg.noval, dt)
         return {m: nv for m in ops_ih.MEMBERS}
     # float-domain map (intensity_histogram.cpp:341-372): HU mode undoes the
-    # load-time slope-1 offset; integer in-memory images are a no-op
-    if cfg.preserve_hu:
-        poffset = jnp.floor(ctx.slide_min.astype(dt))
+    # load-time slope-1 offset (the ORIGINAL pre-shift slide min, carried in
+    # ctx.hu_offset -- the in-memory slide min is 0 after the shift);
+    # integer non-HU images are a no-op
+    if cfg.preserve_hu and ctx.hu_offset is not None:
+        poffset = ctx.hu_offset.astype(dt)
         pscale = jnp.ones((ctx.B,), dt)
     else:
         poffset = pscale = None

@@ -79,3 +79,32 @@ def test_ih_affine_float_domain():
     assert b["IH_MEAN_IDX"] == a["IH_MEAN_IDX"]
     assert b["IH_MODE_IDX"] == a["IH_MODE_IDX"]
     assert b["IH_MEAN_VAL"] == pytest.approx(-100.0 + 2.5 * a["IH_MEAN_VAL"])
+
+
+def test_preserve_hu_end_to_end():
+    """--preserve-hu: first-order stats run on the offset uints while IH_*
+    report in the ORIGINAL HU domain (the load-time slope-1 offset
+    u = round(x - floor(slide_min)) is undone; reference:
+    slideprops.h:48-66, intensity_histogram.cpp:341-372).  r3: the offset
+    was previously lost after the load-time shift (hu config gap exposed by
+    the per-config vetting matrix)."""
+    from nyxus_tpu import Nyxus
+    r = np.random.default_rng(0)
+    hu = r.integers(-400, 900, (64, 64)).astype(np.int32)
+    ll = np.zeros((64, 64), np.int32)
+    ll[8:40, 8:40] = 1
+    nyx = Nyxus(["MEAN", "MIN", "MAX", "IH_MEAN_VAL", "IH_MINIMUM_VAL",
+                 "IH_MAXIMUM_VAL", "IH_MEDIAN_VAL"],
+                ibsi=True, preserve_hu=True, precision="f64")
+    df = nyx.featurize(hu, ll)
+    sel = hu[ll == 1].astype(np.float64)
+    off = np.floor(hu.min())
+    # uint-domain first-order stats (reference runs them on the shifted img)
+    np.testing.assert_allclose(df.MEAN[0], (sel - off).mean(), rtol=1e-12)
+    assert df.MIN[0] == sel.min() - off and df.MAX[0] == sel.max() - off
+    # IH_* back in HU: min/max exact, mean within one bin width
+    binw = (sel.max() - sel.min()) / 64
+    assert abs(df.IH_MINIMUM_VAL[0] - sel.min()) <= binw
+    assert abs(df.IH_MAXIMUM_VAL[0] - sel.max()) <= binw
+    assert abs(df.IH_MEAN_VAL[0] - sel.mean()) <= binw
+    assert df.IH_MEAN_VAL[0] < 0 or sel.mean() > 0
