@@ -4,8 +4,9 @@ The reference reads DICOM through DCMTK behind the USE_DCMTK build gate
 (reference: src/nyx/nyxus_dicom_loader.h:4-19, raw_dicom.h).  This
 self-contained parser covers the grayscale-CT cases the pipeline needs:
 implicit/explicit VR little endian, MONOCHROME1/2, 8/16-bit signed/unsigned
-pixels, RescaleSlope/Intercept (Hounsfield).  Compressed transfer syntaxes
-(JPEG/JPEG-LS/RLE) are rejected with a clear error.
+pixels, RescaleSlope/Intercept (Hounsfield), and the encapsulated transfer
+syntaxes RLE lossless (native PackBits), JPEG-LS (system CharLS), and JPEG
+baseline/extended + JPEG 2000 (Pillow).
 """
 
 from __future__ import annotations
@@ -21,11 +22,13 @@ JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG2000 = "1.2.840.10008.1.2.4.91"
-# encapsulated syntaxes this reader decodes: RLE natively, JPEG/JPEG2000
-# through Pillow (reference: DCMTK-backed decode, nyxus_dicom_loader.h:4-19;
-# JPEG-LS stays unsupported -- no codec in this environment)
+JPEGLS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEGLS_NEAR = "1.2.840.10008.1.2.4.81"
+# encapsulated syntaxes this reader decodes: RLE natively, JPEG-LS through
+# the system CharLS library (io/jpegls.py), JPEG/JPEG2000 through Pillow
+# (reference: DCMTK-backed decode, nyxus_dicom_loader.h:4-19)
 ENCAPSULATED = (RLE_LOSSLESS, JPEG_BASELINE, JPEG_EXTENDED,
-                JPEG2000_LOSSLESS, JPEG2000)
+                JPEG2000_LOSSLESS, JPEG2000, JPEGLS_LOSSLESS, JPEGLS_NEAR)
 
 
 def _read_fragments(s: "_Stream"):
@@ -99,6 +102,12 @@ def _decode_encapsulated(ts: str, frags, meta):
     nbytes = (meta["bits"] + 7) // 8
     if ts == RLE_LOSSLESS:
         raw = _rle_decode(frags[0], rows, cols, nbytes)
+    elif ts in (JPEGLS_LOSSLESS, JPEGLS_NEAR):
+        from . import jpegls
+        if not jpegls.available():
+            raise ValueError("JPEG-LS DICOM needs the system CharLS "
+                             "library (libcharls.so.2), which was not found")
+        raw = jpegls.decode(b"".join(frags)).reshape(-1)
     else:
         import io as _io
 
@@ -199,7 +208,8 @@ def read_dicom(path: str):
                 raise ValueError(
                     "unsupported DICOM transfer syntax %s (supported: "
                     "implicit/explicit little endian, RLE lossless, "
-                    "JPEG baseline/extended, JPEG 2000)" % meta["ts"])
+                    "JPEG-LS, JPEG baseline/extended, JPEG 2000)"
+                    % meta["ts"])
         elif (group, elem) == (0x0028, 0x0010):
             meta["rows"] = struct.unpack("<H", val[:2])[0]
         elif (group, elem) == (0x0028, 0x0011):

