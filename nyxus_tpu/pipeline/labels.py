@@ -158,7 +158,16 @@ def discover_rois_streamed(source, tile: int = 2048):
     ROIs spanning tile boundaries accumulate into one record (the reference's
     cross-tile LR merge, phase1.cpp:64-88).
 
+    Per-tile partials come from the native one-pass kernel when available
+    (numpy unique/scatter fallback below).  A DEVICE-side variant (psum
+    segment reduction over a tile-sharded mesh, as exercised by
+    __graft_entry__.dryrun_multichip) only pays off when the tiles already
+    live in HBM; on a tunneled single chip each extra dispatch costs more
+    than the whole native scan, so the host kernel is the production path.
+
     Returns (records sorted by label, slide_min, slide_max)."""
+    from .. import native
+    use_native = native.available()
     H, W = source.shape
     parts = []                 # per-tile (uniq, area, y0, y1, x0, x1, mn, mx)
     smin, smax = np.inf, -np.inf
@@ -167,6 +176,16 @@ def discover_rois_streamed(source, tile: int = 2048):
         for tx in range(0, W, tile):
             tw = min(tile, W - tx)
             ii, ll = source.read_pair(ty, tx, th, tw)
+            if use_native:
+                rm, fmm, tmin, tmax, _ = native.discover(ll, ii)
+                if not len(rm):
+                    continue
+                smin = min(smin, tmin)
+                smax = max(smax, tmax)
+                parts.append((rm[:, 0], rm[:, 1], rm[:, 2] + ty,
+                              rm[:, 3] + ty, rm[:, 4] + tx, rm[:, 5] + tx,
+                              fmm[:, 0], fmm[:, 1]))
+                continue
             flat_lab = ll.ravel()
             nz = flat_lab != 0
             if not nz.any():
