@@ -220,20 +220,29 @@ def main(argv=None):
     if not needs_frame and args.outputType in ("singlecsv", "separatecsv"):
         single = args.outputType == "singlecsv"
         out = os.path.join(args.outDir, args.resultFname + ".csv")
+        # a single writer thread formats+writes each slide's CSV while the
+        # next slide computes (ordering preserved: one worker, sequential
+        # submits; the native writer releases the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+        wex = ThreadPoolExecutor(max_workers=1)
+        futs = []
         wrote_any = False
         for ipath, lpath, labs, values in nyx._iter_directory_raw(
                 args.intDir, args.segDir, args.filePattern):
             if single:
-                _rows_to_csv(nyx, ipath, lpath, labs, values, out,
-                             append=wrote_any)
+                futs.append(wex.submit(_rows_to_csv, nyx, ipath, lpath,
+                                       labs, values, out, wrote_any))
             else:
                 base = os.path.splitext(
                     os.path.basename(lpath or ipath or "wholeslide"))[0]
                 out_i = os.path.join(args.outDir, base + ".csv")
-                _rows_to_csv(nyx, ipath, lpath, labs, values, out_i,
-                             append=False)
+                futs.append(wex.submit(_rows_to_csv, nyx, ipath, lpath,
+                                       labs, values, out_i, False))
                 print("wrote", out_i)
             wrote_any = True
+        wex.shutdown(wait=True)
+        for fu in futs:
+            fu.result()     # surface writer errors
         if single:
             if not wrote_any:
                 import pandas as pd

@@ -79,22 +79,30 @@ def _geom_inputs(hc):
     return hc._geom_inputs
 
 
+# families whose per-pixel contour-distance pass is shared with the
+# weighted-moment log distances: computing them in the SAME native call as
+# logw avoids a second distance search over every cloud pixel
+DIST_FAMILIES = ("RoiRadiusFeature", "RadialDistributionFeature")
+
+
 def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
-                 phase="all"):
+                 phase="all", exclude=()):
     """Run the one-call geometry kernel over every host row; caches the
     result matrix on the HostContext so the per-family accessors below just
     slice columns.  Returns True when the native path ran.
 
     ``phase`` splits the work around the device dispatch: "logw" computes
-    only the per-pixel weighted-moment log distances (needed BEFORE the
-    device batches are built); "rest" computes every requested feature group
-    and runs while the dispatched device batches execute; "all" does both."""
+    the per-pixel weighted-moment log distances (needed BEFORE the device
+    batches are built) plus any families listed that share the distance
+    pass; "rest" computes the remaining feature groups and runs while the
+    dispatched device batches execute; "all" does both.  Calls accumulate
+    into one cached matrix."""
     from .. import native
     if not native.available() or getattr(hc, "clouds", None) is None:
         return False
     groups = 0
-    if phase in ("rest", "all"):
-        for f in families:
+    for f in families:
+        if f not in exclude:
             groups |= GEOM_GROUPS.get(f, 0)
     if want_logw and phase in ("logw", "all"):
         groups |= G_LOGW
@@ -102,16 +110,17 @@ def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
         return False
     contours, recs_mat, flags = _geom_inputs(hc)
     n = len(hc.recs)
-    out = np.zeros((n, GEOM_W))
-    out[:, _GC_FERET:_GC_CHORDS] = cfg.noval
-    out[:, _GC_CHORDS:_GC_RRAD] = -0.0
-    out[:, _GC_FRAC_AT_D:GEOM_W] = -0.0
+    out = getattr(hc, "geom", None)
+    if out is None:
+        out = np.zeros((n, GEOM_W))
+        out[:, _GC_FERET:_GC_CHORDS] = cfg.noval
+        out[:, _GC_CHORDS:_GC_RRAD] = -0.0
+        out[:, _GC_FRAC_AT_D:GEOM_W] = -0.0
     want_lw = bool(groups & G_LOGW)
     out, logw = native.geom_batch(hc.clouds, contours, recs_mat, flags,
                                   groups, logw_eps=logw_eps, out=out,
                                   want_logw=want_lw)
-    if phase != "logw":
-        hc.geom = out
+    hc.geom = out
     if want_lw:
         hc.logw_flat = logw
     return True

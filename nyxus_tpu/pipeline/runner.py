@@ -297,6 +297,7 @@ class PairRunner:
             o, _ = self.member_slots[code]
             self._out_cols.extend(range(o, o + width))
         self._out_cols = np.asarray(self._out_cols, np.int64)
+        self._colmaps = {}
 
     # ------------------------------------------------------------------
     # public entry points
@@ -513,8 +514,14 @@ class PairRunner:
                                               pre=pre_clouds)
                     from . import hostfeats
                     from ..ops.moments import WEIGHTING_EPSILON
+                    act_fams = registry.activated_families(self.fset)
+                    # the ROI-radius / radial families share the per-pixel
+                    # contour-distance search with logw: one native call
                     hostfeats.compute_geom(
-                        hc, self.cfg, (), want_logw=self._needs_logw,
+                        hc, self.cfg,
+                        tuple(f for f in hostfeats.DIST_FAMILIES
+                              if f in act_fams),
+                        want_logw=self._needs_logw,
                         logw_eps=WEIGHTING_EPSILON, phase="logw")
 
         static_meta = ()
@@ -592,15 +599,28 @@ class PairRunner:
                 if have_logw_flat:
                     # flat per-pixel log distances from the batched native
                     # geometry pass, scattered into the padded crop frame
+                    # with ONE fancy-index per batch
                     gx, gy, _, coff = hc.clouds
                     lwf = hc.logw_flat
+                    segs = []
                     for bi, i in enumerate(idxs):
                         j = hrow_pos[i]
-                        a, b = coff[j], coff[j + 1]
+                        a, b = int(coff[j]), int(coff[j + 1])
                         if b <= a:
                             continue
                         r = recs[i]
-                        lw_h[bi, gy[a:b] - r.y0, gx[a:b] - r.x0] = lwf[a:b]
+                        segs.append((bi, a, b, r.y0, r.x0))
+                    if segs:
+                        bi_f = np.concatenate(
+                            [np.full(b - a, bi, np.int64)
+                             for bi, a, b, _, _ in segs])
+                        gy_f = np.concatenate(
+                            [gy[a:b] - y0_ for _, a, b, y0_, _ in segs])
+                        gx_f = np.concatenate(
+                            [gx[a:b] - x0_ for _, a, b, _, x0_ in segs])
+                        lw_f = np.concatenate(
+                            [lwf[a:b] for _, a, b, _, _ in segs])
+                        lw_h[bi_f, gy_f, gx_f] = lw_f
                 else:
                     from .. import native
                     from ..ops.moments import WEIGHTING_EPSILON
@@ -681,6 +701,13 @@ class PairRunner:
                 fused_out = _extract_pair_packed(
                     tuple(a for _, a in fused), self.families, self.cfg,
                     static_meta, layout_key=fused_key)
+                try:
+                    # start the D2H copy as soon as execution finishes, so
+                    # the fetch overlaps the host geometry pass (and, in the
+                    # pipelined file path, the next slide's host stages)
+                    fused_out.copy_to_host_async()
+                except Exception:
+                    pass
 
         # pre-collect host families: their declared deps avoid any
         # device-computed member, so they run while the dispatched device
@@ -706,7 +733,7 @@ class PairRunner:
                     hostfeats.compute_geom(
                         hc, self.cfg,
                         registry.activated_families(self.fset),
-                        phase="rest")
+                        phase="rest", exclude=hostfeats.DIST_FAMILIES)
             run_host(pre_host)
 
         def finish():
@@ -716,14 +743,13 @@ class PairRunner:
             with stopwatch("Pipeline/Phase2_collect/#33aa99"):
                 if fused_out is not None:
                     packed = np.asarray(jax.device_get(fused_out))
-                    layout = _BUCKET_LAYOUTS[fused_key]
+                    src, dst = self._colmap(fused_key)
                     row0 = 0
                     for idxs, args in fused:
                         bq = int(args[0].shape[0])
-                        self._scatter(
-                            values, idxs,
-                            _unpack_bucket(packed[row0:row0 + len(idxs)],
-                                           layout))
+                        # one fancy-index instead of ~750 per-member scatters
+                        values[np.ix_(np.asarray(idxs), dst)] = \
+                            packed[row0:row0 + len(idxs)][:, src]
                         row0 += bq
                 if pending:
                     fetched = jax.device_get([out for _, _, out in pending])
@@ -787,6 +813,24 @@ class PairRunner:
         if async_collect:
             return labs_all, finish
         return labs_all, finish()
+
+    def _colmap(self, lkey):
+        """(src cols in the packed layout, dst cols in the value matrix)
+        as index arrays, cached per packed-layout key."""
+        if lkey not in self._colmaps:
+            layout = _BUCKET_LAYOUTS[lkey]
+            src, dst = [], []
+            for (fam, member), (off, w) in layout.items():
+                code = registry.FAMILIES[fam].member_code(member)
+                if code is None or code not in self.member_slots:
+                    continue
+                doff, dwidth = self.member_slots[code]
+                k = min(w, dwidth)
+                src.extend(range(off, off + k))
+                dst.extend(range(doff, doff + k))
+            self._colmaps[lkey] = (np.asarray(src, np.int64),
+                                   np.asarray(dst, np.int64))
+        return self._colmaps[lkey]
 
     def _scatter(self, values, idxs, out):
         """Place family outputs into the row value matrix."""
