@@ -88,11 +88,19 @@ def cooc_matrices(orig, levels, angles, offset: int, ng: int, symmetric: bool):
     return M
 
 
-def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
+def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None,
+                              val=None, kvs=None, kvd=None):
     """All 30 angled GLCM features from count matrices.
 
     M: [B, A, ng, ng] counts (axis -2 = neighbor 'x', axis -1 = center 'y').
-    Level values are I[i] = i + 1 (MATLAB/IBSI uniform-level convention).
+    Level values default to I[i] = i + 1 (MATLAB/IBSI uniform-level
+    convention).  Radiomics binning indexes the matrix by the RANK of each
+    present level and passes the per-ROI arrays the reference derives from
+    its unique-level vector I (glcm.cpp:389-398, 503-513):
+      val [B, ng]      I[rank] (level value at each rank; 0 beyond Ng)
+      kvs [B, 2ng-1]   kValuesSum (last-writer pair, glcm.cpp:511)
+      kvd [B, ng]      kValuesDiff
+      ng_val [B]       Ng = |I|
     Returns dict member -> [B, A]; caller handles degenerate masking of the
     whole family, this handles per-angle empty matrices.
     """
@@ -102,13 +110,18 @@ def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
     p = M / jnp.where(empty, 1, sum_p)[..., None, None]     # joint probability
 
     idx = jnp.arange(ng, dtype=dt)                          # 0-based index
-    val = idx + 1.0                                         # level value I
+    if val is None:
+        valB = (idx + 1.0)[None, None, :]                   # level value I
+    else:
+        valB = val.astype(dt)[:, None, :]
+    valr = valB[..., :, None]
+    valc = valB[..., None, :]
 
     px_n = jnp.sum(p, axis=-1)   # [B, A, ng] neighbor-axis marginal (sum over center)
     px_c = jnp.sum(p, axis=-2)   # [B, A, ng] center-axis marginal
 
-    mr = jnp.sum(px_c * val, axis=-1)        # center-marginal mean (f_corr mr)
-    mc = jnp.sum(px_n * val, axis=-1)        # neighbor-marginal mean (= by_row_mean)
+    mr = jnp.sum(px_c * valB, axis=-1)       # center-marginal mean (f_corr mr)
+    mc = jnp.sum(px_n * valB, axis=-1)       # neighbor-marginal mean (= by_row_mean)
 
     # Pxpy / Pxmy via constant one-hot matmuls over the ng*ng cells
     ii = np.arange(ng)
@@ -125,32 +138,45 @@ def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
                       preferred_element_type=dt)             # [B, A, 2ng-1]
 
     k = idx                                                  # diff index values
-    s2 = jnp.arange(2 * ng - 1, dtype=dt) + 2.0              # kValuesSum (I sums)
+    if kvs is None:
+        s2 = (jnp.arange(2 * ng - 1, dtype=dt) + 2.0)[None, None, :]
+    else:
+        s2 = kvs.astype(dt)[:, None, :]
+    if kvd is None:
+        kvdB = k[None, None, :]
+    else:
+        kvdB = kvd.astype(dt)[:, None, :]
 
     out = {}
     out["GLCM_ASM"] = jnp.sum(p * p, axis=(-1, -2))
     out["GLCM_ENERGY"] = out["GLCM_ASM"]
 
-    dval = val[:, None] - val[None, :]
+    dval = valr - valc
     out["GLCM_CONTRAST"] = jnp.sum(p * dval * dval, axis=(-1, -2))
 
     # correlation (glcm.cpp:593-644)
-    s2r = jnp.sum(px_c * (val - mr[..., None]) ** 2, axis=-1)
-    s2c = jnp.sum(px_n * (val - mc[..., None]) ** 2, axis=-1)
-    cov = jnp.einsum("baij,bai,baj->ba", p, val - mc[..., None],
-                     val - mr[..., None], preferred_element_type=dt)
+    s2r = jnp.sum(px_c * (valB - mr[..., None]) ** 2, axis=-1)
+    s2c = jnp.sum(px_n * (valB - mc[..., None]) ** 2, axis=-1)
+    cov = jnp.einsum("baij,bai,baj->ba", p,
+                     jnp.broadcast_to(valB, p.shape[:2] + (ng,))
+                     - mc[..., None],
+                     jnp.broadcast_to(valB, p.shape[:2] + (ng,))
+                     - mr[..., None], preferred_element_type=dt)
     denom = jnp.sqrt(s2r) * jnp.sqrt(s2c)
     out["GLCM_CORRELATION"] = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1),
                                         jnp.asarray(noval, dt))
 
-    out["GLCM_VARIANCE"] = jnp.sum(px_c * (val - mr[..., None]) ** 2, axis=-1)
+    out["GLCM_VARIANCE"] = jnp.sum(px_c * (valB - mr[..., None]) ** 2,
+                                   axis=-1)
 
     out["GLCM_IDM"] = jnp.sum(pxmy / (1 + k * k), axis=-1)
     out["GLCM_SUMAVERAGE"] = jnp.sum(pxpy * s2, axis=-1)
     out["GLCM_SUMENTROPY"] = -jnp.sum(pxpy * fast_log2(pxpy + EPS), axis=-1)
     out["GLCM_ENTROPY"] = -jnp.sum(p * fast_log2(p + EPS), axis=(-1, -2))
 
-    difavg = jnp.sum(pxmy * k, axis=-1)
+    # DIFAVE weights by kValuesDiff (LEVEL differences, glcm.cpp:771-780);
+    # DIFVAR then deviates the INDEX k from that value (f_dvar)
+    difavg = jnp.sum(pxmy * kvdB, axis=-1)
     out["GLCM_DIFAVE"] = difavg
     out["GLCM_DIFVAR"] = jnp.sum((k - difavg[..., None]) ** 2 * pxmy, axis=-1)
     out["GLCM_DIFENTRO"] = -jnp.sum(pxmy * fast_log2(pxmy + EPS), axis=-1)
@@ -166,10 +192,11 @@ def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
     out["GLCM_INFOMEAS1"] = jnp.where(jnp.isfinite(im1), im1, jnp.asarray(noval, dt))
     out["GLCM_INFOMEAS2"] = jnp.sqrt(jnp.abs(1.0 - jnp.exp(-2.0 * (hxy - hxy2))))
 
-    out["GLCM_ACOR"] = jnp.einsum("baij,i,j->ba", p, val, val,
+    valbc = jnp.broadcast_to(valB, p.shape[:2] + (ng,))
+    out["GLCM_ACOR"] = jnp.einsum("baij,bai,baj->ba", p, valbc, valbc,
                                   preferred_element_type=dt)
 
-    m_clu = val[:, None] + val[None, :] - 2.0 * mc[..., None, None]
+    m_clu = valr + valc - 2.0 * mc[..., None, None]
     out["GLCM_CLUTEND"] = jnp.sum(m_clu ** 2 * p, axis=(-1, -2))
     out["GLCM_CLUSHADE"] = jnp.sum(m_clu ** 3 * p, axis=(-1, -2))
     out["GLCM_CLUPROM"] = jnp.sum(m_clu ** 4 * p, axis=(-1, -2))
@@ -192,19 +219,77 @@ def glcm_features_from_matrix(M, ng: int, noval: float, ng_val=None):
     out["GLCM_IDMN"] = jnp.sum(pxmy / (1.0 + (k * k) / (ng_f * ng_f)), axis=-1)
     out["GLCM_ID"] = jnp.sum(pxmy / (1.0 + k), axis=-1)
     out["GLCM_IDN"] = jnp.sum(pxmy / (1.0 + k / ng_f), axis=-1)
-    kk = jnp.where(k > 0, k * k, 1)
+    # IV weights by kValuesDiff (glcm.cpp:1116-1131)
+    kk = jnp.where(kvdB > 0, kvdB * kvdB, 1)
     out["GLCM_IV"] = jnp.sum(jnp.where(k > 0, pxmy / kk, 0), axis=-1)
 
     out["GLCM_JAVE"] = mr
     out["GLCM_JE"] = out["GLCM_ENTROPY"]
     out["GLCM_JMAX"] = jnp.max(p, axis=(-1, -2))
-    out["GLCM_JVAR"] = jnp.sum(px_n * (val - mr[..., None]) ** 2, axis=-1)
+    # JVAR deviates the matrix INDEX x+1 from the LEVEL-VALUED joint
+    # average (f_GLCM_JVAR, glcm.cpp:1185-1202 -- a faithful mixed-units
+    # quirk that only shows under gapped radiomics level sets)
+    out["GLCM_JVAR"] = jnp.sum(px_n * ((idx + 1.0)[None, None, :]
+                                       - mr[..., None]) ** 2, axis=-1)
 
     # per-angle empty matrix -> soft NAN (glcm.cpp:259-296)
     nv = jnp.asarray(noval, dt)
     for m in MEMBERS:
         out[m] = jnp.where(empty, nv, out[m])
     return out
+
+
+def radiomics_rank_info(levels, participate, ng: int, dtype):
+    """Per-ROI rank compaction for radiomics binning (glcm.cpp:389-398):
+    the reference's unique-level vector I indexes the matrix by RANK.
+
+    levels: [B, ...] radiomics-binned (0 = excluded); participate: same-shape
+    bool (original intensity > 0).  Returns (rank [B, ng] (level-1 -> rank),
+    val [B, ng] (I, 0-padded), kvs [B, 2ng-1], kvd [B, ng], ngp [B])."""
+    from .common import masked_bincount
+    B = levels.shape[0]
+    lev0 = (levels.astype(jnp.int32) - 1).reshape(B, -1)
+    w = participate.reshape(B, -1).astype(dtype)
+    present = masked_bincount(lev0, w, ng) > 0                  # [B, ng]
+    rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1    # [B, ng]
+    ngp = jnp.sum(present.astype(dtype), axis=1)
+    rr = jnp.arange(ng, dtype=jnp.int32)
+    # val[b, r] = level value whose rank is r (one-hot scatter)
+    oh = ((rank[:, :, None] == rr[None, None, :]) &
+          present[:, :, None]).astype(dtype)
+    val = jnp.einsum("blr,l->br", oh, jnp.arange(1, ng + 1, dtype=dtype),
+                     preferred_element_type=dtype)
+
+    def take(v, idx):
+        """v[b, idx[b, k]] via one-hot matmul (tiny)."""
+        ohi = (idx[..., None] == rr[None, None, :]).astype(dtype)
+        return jnp.einsum("bkl,bl->bk", ohi, v,
+                          preferred_element_type=dtype)
+
+    ngp_i = ngp.astype(jnp.int32)
+    ks = jnp.arange(2 * ng - 1, dtype=jnp.int32)
+    # kValuesSum[k]: last writer of the (x outer, y inner) loop is
+    # x* = min(k, Ng-1), y* = k - x* (glcm.cpp:503-513)
+    xs = jnp.minimum(ks[None, :], jnp.maximum(ngp_i - 1, 0)[:, None])
+    ys = jnp.clip(ks[None, :] - xs, 0, ng - 1)
+    kvs = take(val, xs) + take(val, ys)
+    # kValuesDiff[d]: last writer x = Ng-1, y = Ng-1-d
+    kd = jnp.arange(ng, dtype=jnp.int32)
+    top = take(val, jnp.maximum(ngp_i - 1, 0)[:, None])          # [B, 1]
+    low = take(val, jnp.clip(jnp.maximum(ngp_i - 1, 0)[:, None]
+                             - kd[None, :], 0, ng - 1))
+    kvd = jnp.abs(top - low)
+    return rank, val, kvs, kvd, ngp
+
+
+def _rank_per_pixel(levels, rank, ng: int, dtype):
+    """rank of each pixel's level (garbage where level == 0; callers mask)."""
+    B = levels.shape[0]
+    lev0 = jnp.clip(levels.astype(jnp.int32) - 1, 0, ng - 1)
+    oh = (lev0[..., None] == jnp.arange(ng, dtype=jnp.int32)).astype(dtype)
+    rk = jnp.einsum("b...l,bl->b...", oh, rank.astype(dtype),
+                    preferred_element_type=dtype)
+    return rk.astype(jnp.int32)
 
 
 def glcm_all(orig, levels, vmin, vmax, angles, offset: int, ng: int,
@@ -214,16 +299,29 @@ def glcm_all(orig, levels, vmin, vmax, angles, offset: int, ng: int,
     orig: [B, H, W] masked intensities; levels: binned; vmin/vmax: [B].
     Returns dict member -> [B, n_angles] and member_AVE -> [B].
     """
+    if greyinfo < 0:
+        # radiomics binning: rank-compacted SYMMETRIC matrix over the
+        # per-ROI present-level set (glcm.cpp:389-398, 474-477)
+        dt = orig.dtype
+        rank, val, kvs, kvd, ngp = radiomics_rank_info(levels, orig > 0,
+                                                       ng, dt)
+        rank_pix = _rank_per_pixel(levels, rank, ng, dt)
+        M = cooc_matrices(orig, rank_pix + 1, angles, offset, ng,
+                          symmetric=True)
+        return glcm_finalize(M, vmin, vmax, greyinfo, noval, ng_val=ngp,
+                             val=val, kvs=kvs, kvd=kvd)
     M = cooc_matrices(orig, levels, angles, offset, ng, symmetric)
     return glcm_finalize(M, vmin, vmax, greyinfo, noval, ng_val)
 
 
-def glcm_finalize(M, vmin, vmax, greyinfo: int, noval: float, ng_val=None):
+def glcm_finalize(M, vmin, vmax, greyinfo: int, noval: float, ng_val=None,
+                  val=None, kvs=None, kvd=None):
     """Features + _AVE means + degenerate gating from count matrices
     M: [B, A, ng, ng].  Shared by the dense path above and the
     tile-streamed oversized path (pipeline/oversized_tex.py)."""
     ng = M.shape[-1]
-    out = glcm_features_from_matrix(M, ng, noval, ng_val)
+    out = glcm_features_from_matrix(M, ng, noval, ng_val, val=val, kvs=kvs,
+                                    kvd=kvd)
 
     degen = quant.binned_range_degenerate(vmin, vmax, greyinfo)   # [B]
     nv = jnp.asarray(noval, M.dtype)

@@ -462,10 +462,36 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
     if "glcm" in accs:
         from ..ops import glcm as ops_glcm
         g = greyinfos["glcm"]
-        M = jnp.asarray(accs["glcm"].finish(symmetric=cfg.ibsi), dt)
-        ng_val = vmax_a if cfg.ibsi else None
-        res = ops_glcm.glcm_finalize(M, vmin_a, vmax_a, g, cfg.noval, ng_val)
-        out["GLCMFeature"] = {k: np.asarray(v)[0] for k, v in res.items()}
+        acc_g = accs["glcm"]
+        if g < 0:
+            # radiomics: rank-compact the dense-level matrices by the
+            # present-level set and hand the reference's I-derived arrays
+            # to the shared finalize (glcm.cpp:389-398, 503-513)
+            ng = acc_g.ng
+            M_dense = acc_g.finish(symmetric=True)[0]     # [A, ng, ng]
+            I = np.nonzero(acc_g.present)[0]              # level-1 indices
+            Mr = np.zeros((M_dense.shape[0], ng, ng))
+            k = len(I)
+            Mr[:, :k, :k] = M_dense[:, I][:, :, I]
+            val = np.zeros((1, ng))
+            val[0, :k] = I + 1.0
+            kvs = np.zeros((1, 2 * ng - 1))
+            kvd = np.zeros((1, ng))
+            for x in range(k):
+                for y in range(k):
+                    kvs[0, x + y] = val[0, x] + val[0, y]
+                    kvd[0, abs(x - y)] = abs(val[0, x] - val[0, y])
+            res = ops_glcm.glcm_finalize(
+                jnp.asarray(Mr[None], dt), vmin_a, vmax_a, g, cfg.noval,
+                ng_val=jnp.asarray([float(k)], dt),
+                val=jnp.asarray(val, dt), kvs=jnp.asarray(kvs, dt),
+                kvd=jnp.asarray(kvd, dt))
+        else:
+            M = jnp.asarray(acc_g.finish(symmetric=cfg.ibsi), dt)
+            ng_val = vmax_a if cfg.ibsi else None
+            res = ops_glcm.glcm_finalize(M, vmin_a, vmax_a, g, cfg.noval,
+                                         ng_val)
+        out["GLCMFeature"] = {k2: np.asarray(v)[0] for k2, v in res.items()}
 
     if "glrlm" in accs:
         from ..ops import glrlm as ops_glrlm

@@ -115,6 +115,9 @@ class GlcmAccum:
         self.ng = ng
         self.M = {a: np.zeros((ng, ng), np.float64) for a in self.angles}
         self._carry = None      # last d rows (orig, lev), dy-pairs pending
+        # present-level mask from PIXELS (not pairs): radiomics rank
+        # compaction uses the unique-level set of the ROI's pixels
+        self.present = np.zeros(ng, bool)
 
     def _count(self, ang, co, cl, no, nl):
         valid = (co > 0) & (no > 0)
@@ -127,6 +130,9 @@ class GlcmAccum:
 
     def feed(self, orig: np.ndarray, lev: np.ndarray):
         d = self.d
+        part = orig > 0
+        if part.any():
+            self.present[np.unique(lev[part].astype(np.int64)) - 1] = True
         # horizontal (dy == 0) pairs: complete within the new rows only
         for ang in self.angles:
             dx, dy = self.ANGLE_OFFSETS[ang]

@@ -32,7 +32,12 @@ def bin_radiomics(x, vmin, vmax, n):
 
 def cooc(img, angle, offset, ng, n_levels, ibsi=False, radiomics=False):
     """img: 2D masked intensities (0 = background). Returns [ng, ng] counts,
-    axis 0 = neighbor level-1, axis 1 = center level-1."""
+    axis 0 = neighbor level-1, axis 1 = center level-1.
+
+    Radiomics binning (glcm.cpp:389-398, 452-478): the matrix axes index the
+    RANK of each level within the sorted present-level set I, the matrix is
+    SYMMETRIC, and I also supplies the level values for the weighted
+    members -- returns (M [|I|, |I|], I list) in that mode."""
     h, w = img.shape
     if ibsi:
         lev = img.astype(np.int64)
@@ -41,33 +46,58 @@ def cooc(img, angle, offset, ng, n_levels, ibsi=False, radiomics=False):
         vmin, vmax = vals.min(), vals.max()
         lev = np.vectorize(
             lambda v: bin_radiomics(v, vmin, vmax, n_levels))(img)
+        I = sorted(set(lev[img > 0].ravel().tolist()))
+        rank = {l: i for i, l in enumerate(I)}
     else:
         lev = np.vectorize(lambda v: bin_matlab(v, img.max(), n_levels))(img)
     dx, dy = ANGLE_OFFSETS[angle]
     dx, dy = dx * offset, dy * offset
-    M = np.zeros((ng, ng))
+    nm = len(I) if radiomics else ng
+    M = np.zeros((nm, nm))
     for r in range(h):
         for c in range(w):
             rr, cc = r + dy, c + dx
             if 0 <= rr < h and 0 <= cc < w:
                 if img[r, c] == 0 or img[rr, cc] == 0:
                     continue
-                a, b = lev[rr, cc] - 1, lev[r, c] - 1
+                if radiomics:
+                    a, b = rank[lev[rr, cc]], rank[lev[r, c]]
+                else:
+                    a, b = lev[rr, cc] - 1, lev[r, c] - 1
                 M[a, b] += 1
-                if ibsi:
+                if ibsi or radiomics:
                     M[b, a] += 1
+    if radiomics:
+        return M, I
     return M
 
 
-def glcm_features(M, ng, noval=-0.0):
-    """All 30 angled features from one count matrix."""
+def glcm_features(M, ng, noval=-0.0, I=None):
+    """All 30 angled features from one count matrix.  ``I``: level values
+    per matrix index (radiomics rank compaction); default contiguous."""
     out = {}
     s = M.sum()
     if s == 0:
         return {m: noval for m in ALL}
+    nm = M.shape[0]
     p = M / s
-    idx = np.arange(ng, dtype=np.float64)
-    val = idx + 1
+    idx = np.arange(nm, dtype=np.float64)
+    if I is None:
+        val = idx + 1
+        Ngn = float(ng)
+        kvs = np.arange(2 * nm - 1) + 2.0
+        kvd = idx.copy()
+    else:
+        val = np.asarray(I, np.float64)
+        Ngn = float(nm)
+        # kValuesSum/Diff last-writer quirks (glcm.cpp:503-513)
+        kvs = np.zeros(2 * nm - 1)
+        kvd = np.zeros(nm)
+        for x in range(nm):
+            for y in range(nm):
+                kvs[x + y] = val[x] + val[y]
+                kvd[abs(x - y)] = abs(val[x] - val[y])
+    ng = nm
 
     px_n = p.sum(axis=1)   # neighbor marginal
     px_c = p.sum(axis=0)   # center marginal
@@ -96,11 +126,10 @@ def glcm_features(M, ng, noval=-0.0):
     out["GLCM_VARIANCE"] = (px_c * (val - mr) ** 2).sum()
     k = idx
     out["GLCM_IDM"] = (pxmy / (1 + k * k)).sum()
-    s2 = np.arange(2 * ng - 1) + 2.0
-    out["GLCM_SUMAVERAGE"] = (pxpy * s2).sum()
+    out["GLCM_SUMAVERAGE"] = (pxpy * kvs).sum()
     out["GLCM_SUMENTROPY"] = -(pxpy * fast_log2(pxpy + EPS)).sum()
     out["GLCM_ENTROPY"] = -(p * fast_log2(p + EPS)).sum()
-    difavg = (pxmy * k).sum()
+    difavg = (pxmy * kvd).sum()
     out["GLCM_DIFAVE"] = difavg
     out["GLCM_DIFVAR"] = ((k - difavg) ** 2 * pxmy).sum()
     out["GLCM_DIFENTRO"] = -(pxmy * fast_log2(pxmy + EPS)).sum()
@@ -126,14 +155,14 @@ def glcm_features(M, ng, noval=-0.0):
     out["GLCM_DIS"] = (ad * p).sum()
     out["GLCM_HOM1"] = (p / (1 + ad)).sum()
     out["GLCM_HOM2"] = (p / (1 + ad * ad)).sum()
-    out["GLCM_IDMN"] = (pxmy / (1 + k * k / ng**2)).sum()
+    out["GLCM_IDMN"] = (pxmy / (1 + k * k / Ngn**2)).sum()
     out["GLCM_ID"] = (pxmy / (1 + k)).sum()
-    out["GLCM_IDN"] = (pxmy / (1 + k / ng)).sum()
-    out["GLCM_IV"] = sum(pxmy[int(kk)] / kk**2 for kk in k[1:])
+    out["GLCM_IDN"] = (pxmy / (1 + k / Ngn)).sum()
+    out["GLCM_IV"] = sum(pxmy[i] / kvd[i]**2 for i in range(1, ng))
     out["GLCM_JAVE"] = mr
     out["GLCM_JE"] = out["GLCM_ENTROPY"]
     out["GLCM_JMAX"] = p.max()
-    out["GLCM_JVAR"] = (px_n * (val - mr) ** 2).sum()
+    out["GLCM_JVAR"] = (px_n * (idx + 1 - mr) ** 2).sum()
     return out
 
 

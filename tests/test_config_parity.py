@@ -1,0 +1,99 @@
+"""Reference-binary parity for NON-default engine configurations: IBSI mode
+and radiomics binning (the per-config vetting matrix's thin columns,
+VERDICT r2 weak #5 follow-through).
+
+Fixtures: tests/data/ref_{ibsi,radiomics}_320x320_seed11.csv.gz -- the
+reference CLI's `*ALL*` CSV on the parity slide with intensities compressed
+to 1..59 (IBSI raw mode sizes matrix axes by the max integer intensity) and
+--ibsi=true / --coarseGrayDepth=-32 respectively.  Regenerate with
+tools/gen_config_fixtures.py.
+"""
+
+import gzip
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from nyxus_tpu import columns as col  # noqa: E402
+from nyxus_tpu import taxonomy as tx  # noqa: E402
+from nyxus_tpu.config import EngineConfig  # noqa: E402
+from nyxus_tpu.pipeline.runner import PairRunner  # noqa: E402
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+from test_reference_parity import FAMILY_TOL, LOOSE  # noqa: E402
+
+DEFAULT_TOL = 1e-4
+
+# Families whose radiomics-binning behavior in the reference binary is a
+# DEFECT, not a semantic (verified in source):
+# * GLDZM_*: the binary emits the fvals default 0.0 for every ROI under
+#   --coarseGrayDepth<0 (internal failure; gldzm.cpp's matrix kit mishandles
+#   the negative grey depth) -- this engine computes real zone statistics.
+# * NGLDM_*: ngldm.cpp passes the negative grey depth into to_grayscale's
+#   UNSIGNED n_levels parameter (helpers.h:337-345), wrapping -32 to
+#   2^32-32: binning degenerates to per-raw-intensity levels with ~1e7-scale
+#   grey values in the weighted members -- this engine bins to |n| levels.
+RADIOMICS_REFERENCE_DEFECTS = ("GLDZM_", "NGLDM_")
+
+
+def _run(cfg_kwargs, ibsi):
+    intens, labels = bench.make_dsb_like(h=320, w=320, n_blobs=40, seed=11)
+    intens = (intens % 59 + 1).astype(np.uint16)
+    cfg = EngineConfig(precision="f64", **cfg_kwargs)
+    fset = tx.parse_feature_request(["*ALL*"], ibsi=ibsi)
+    runner = PairRunner(fset, cfg)
+    labs, values = runner.run(intens, labels)
+    cols, _ = col.build_header(fset, cfg)
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    return ours.set_index("ROI_label")
+
+
+def _compare(ref, ours, min_checked, skip_prefixes=()):
+    assert list(ref.index) == list(ours.index)
+    failures = []
+    checked = 0
+    for c in ours.columns:
+        if c not in ref.columns or c in FAMILY_TOL:
+            continue
+        if c.startswith(skip_prefixes):
+            continue
+        a = ours[c].to_numpy(float)
+        b = ref[c].to_numpy(float)
+        both = np.isfinite(a) & np.isfinite(b)
+        if both.sum() == 0:
+            continue
+        denom = np.maximum(np.abs(b[both]), 1e-6)
+        rel = np.abs(a[both] - b[both]) / denom
+        p90 = float(np.quantile(rel, 0.9))
+        tol = LOOSE.get(c, DEFAULT_TOL)
+        checked += 1
+        if p90 > tol:
+            failures.append((c, round(p90, 6)))
+    assert checked >= min_checked, "too few comparable columns (%d)" % checked
+    assert not failures, "beyond tolerance vs reference binary: %r" % \
+        failures[:25]
+
+
+def test_ibsi_mode_parity():
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_ibsi_320x320_seed11.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    ours = _run(dict(ibsi=True), ibsi=True)
+    _compare(ref, ours, 700)
+
+
+def test_radiomics_binning_parity():
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_radiomics_320x320_seed11.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    # radiomics mode has no IBSI IH_* family -> fewer columns
+    ours = _run(dict(coarse_gray_depth=-32), ibsi=False)
+    _compare(ref, ours, 600, skip_prefixes=RADIOMICS_REFERENCE_DEFECTS)

@@ -120,9 +120,9 @@ def test_glcm_matches_oracle_radiomics_binning(blob_pair):
                         intens[ys.min():ys.max() + 1, xs.min():xs.max() + 1], 0)
         row = dict(zip(colnames, values[i]))
         for ang in cfg.glcm_angles:
-            M = oracle.cooc(crop.astype(np.float64), ang, cfg.glcm_offset,
-                            ng, ng, radiomics=True)
-            ref = oracle.glcm_features(M, ng)
+            M, I = oracle.cooc(crop.astype(np.float64), ang, cfg.glcm_offset,
+                               ng, ng, radiomics=True)
+            ref = oracle.glcm_features(M, ng, I=I)
             for m in oracle.ALL:
                 got = row["%s_%d" % (m, ang)]
                 assert got == pytest.approx(ref[m], rel=_rtol(m, RTOL), abs=1e-10), (

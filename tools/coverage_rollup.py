@@ -45,6 +45,11 @@ TESTS = os.path.join(os.path.dirname(os.path.dirname(
 # contributes coverage rows only for the configurations its assertions run
 # under.  Modules marked "mechanics" are excluded from coverage (they do
 # not assert feature VALUES).
+# NOTE: config attribution is MODULE-granular: a module contributes its
+# whole feature set to every config it declares, which can over-credit a
+# config a specific assertion does not run under (e.g. test_oversized's 3D
+# sections run default/ibsi while its 2D radiomics variant earns the
+# radiomics-bin tag).  Assertion-level rows are the next refinement.
 CONFIGS = ("default", "ibsi", "radiomics-bin", "hu", "aniso", "wholeslide",
            "oversized", "f32-chip")
 ORACLE_OF = {
@@ -65,6 +70,8 @@ ORACLE_OF = {
     "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden", ("ibsi",)),
     "test_reference_parity.py": ("reference-binary-csv", "golden",
                                  ("default",)),
+    "test_config_parity.py": ("reference-binary-csv", "golden",
+                              ("ibsi", "radiomics-bin")),
     "test_aniso.py": ("reference-binary-csv+virtual-oracle", "golden",
                       ("aniso",)),
     "test_wholeslide_parity.py": ("reference-binary-csv", "golden",
@@ -89,7 +96,7 @@ ORACLE_OF = {
 # honest claim of per-feature numeric coverage
 NICK_OK = {"test_reference_parity.py", "test_tpu_device.py",
            "test_oversized.py", "test_aniso.py",
-           "test_wholeslide_parity.py"}
+           "test_wholeslide_parity.py", "test_config_parity.py"}
 
 _NICK_RE = re.compile(r'"(\*[A-Z0-9_]+\*)"')
 _NAME_RE = re.compile(r'"([A-Z0-9_]{2,})"')

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Generate reference-binary fixtures for the non-default engine
+configurations the vetting matrix tracks: IBSI mode and radiomics binning.
+
+Same slide/protocol as gen_parity_fixture.py; writes
+  tests/data/ref_ibsi_320x320_seed11.csv.gz       (--ibsi=true)
+  tests/data/ref_radiomics_320x320_seed11.csv.gz  (--coarseGrayDepth=-32)
+"""
+import gzip
+import os
+import shutil
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    binary = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/nyxus"
+    import numpy as np
+    import bench
+    from nyxus_tpu import native
+    intens, labels = bench.make_dsb_like(h=320, w=320, n_blobs=40, seed=11)
+    # IBSI raw mode sizes co-occurrence axes by the max integer intensity:
+    # compress the dynamic range so the reference's dense matrices stay
+    # tractable (Ng <= 60) while every feature still exercises real variety
+    intens = (intens % 59 + 1).astype(np.uint16)
+    base = "/tmp/parity_fix_cfg"
+    for d in ("int", "seg"):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+    native.write_tiff(os.path.join(base, "int", "slide.ome.tif"),
+                      intens.astype(np.uint16), tile_size=0)
+    native.write_tiff(os.path.join(base, "seg", "slide.ome.tif"),
+                      labels.astype(np.uint16), tile_size=0)
+    for tag, extra in (("ibsi", ["--ibsi=true"]),
+                       ("radiomics", ["--coarseGrayDepth=-32"])):
+        out = os.path.join(base, "out_" + tag)
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        subprocess.run([binary, "--features=*ALL*",
+                        "--intDir=%s/int" % base, "--segDir=%s/seg" % base,
+                        "--outDir=" + out, "--outputType=singlecsv",
+                        "--reduceThreads=2"] + extra,
+                       check=True, capture_output=True)
+        dst = os.path.join(HERE, "tests", "data",
+                           "ref_%s_320x320_seed11.csv.gz" % tag)
+        with open(os.path.join(out, "NyxusFeatures.csv"), "rb") as f, \
+                gzip.open(dst, "wb") as g:
+            g.write(f.read())
+        print("wrote", dst)
+
+
+if __name__ == "__main__":
+    main()
