@@ -621,6 +621,10 @@ class Nyxus3D:
 
     _mesh = Nyxus._mesh
     use_gpu_device = Nyxus.use_gpu_device
+    # metaparameter surface (reference nyxus.py:252-289 exposes it on the
+    # 3D class too; the 3D-family paths are 3glcm/..., 3ngtdm/radius, ...)
+    set_metaparam = Nyxus.set_metaparam
+    get_metaparam = Nyxus.get_metaparam
 
     def _compile(self):
         self.fset = tx.parse_feature_request(

@@ -45,6 +45,10 @@ class EngineConfig:
     d3_ngtdm_greydepth: int | None = None
     d3_glrlm_greydepth: int | None = None
     d3_glszm_greydepth: int | None = None
+    # reference default is 0 (env_features.cpp:712-736 zero-initializes
+    # NGTDM_RADIUS): the 3D NGTDM neighborhood is empty and all five members
+    # are emitted as 0.0 unless --featureParams=3ngtdm/radius=N is given
+    d3_ngtdm_radius: int = 0
 
     # gabor defaults (reference: gabor.h:52-66, nyxus.py:90-103)
     gabor_kersize: int = 16
@@ -94,10 +98,16 @@ class EngineConfig:
         return self.coarse_gray_depth if v is None else v
 
     def texture_greydepth3(self, family: str) -> int:
-        """3D family grey depth: the d3_* metaparam slot, else the global
-        coarse depth (reference: env_features.cpp:714-738 defaults)."""
+        """3D family grey depth: the d3_* metaparam slot, else the
+        reference's per-family DEFAULT.  env_features.cpp:712-736 only
+        seeds GLCM_GREYDEPTH with the global coarse depth; the
+        GLRLM/GLSZM/GLDM/NGTDM slots stay zero-initialized, and greyInfo=0
+        selects the no-binning (raw-intensity) path in bin_intensities_3d
+        (texture_feature.h:52-76) with background=0 excluded."""
         v = getattr(self, "d3_" + family + "_greydepth", None)
-        return self.coarse_gray_depth if v is None else v
+        if v is not None:
+            return v
+        return self.coarse_gray_depth if family == "glcm" else 0
 
     @property
     def glcm3_offset(self) -> int:

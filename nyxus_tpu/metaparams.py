@@ -49,7 +49,7 @@ _PARAMS = {
     ("3glcm", "sparseintensities"): ("d3_glcm_sparseintensities", _parse_int, None),
     ("3gldm", "greydepth"): ("d3_gldm_greydepth", _parse_int, "coarse_gray_depth"),
     ("3ngtdm", "greydepth"): ("d3_ngtdm_greydepth", _parse_int, "coarse_gray_depth"),
-    ("3ngtdm", "radius"): ("ngtdm_radius", _parse_positive_int, None),
+    ("3ngtdm", "radius"): ("d3_ngtdm_radius", _parse_positive_int, None),
     ("3glrlm", "greydepth"): ("d3_glrlm_greydepth", _parse_int, "coarse_gray_depth"),
     ("3glszm", "greydepth"): ("d3_glszm_greydepth", _parse_int, "coarse_gray_depth"),
     ("3glsz", "greydepth"): ("d3_glszm_greydepth", _parse_int, "coarse_gray_depth"),

@@ -46,6 +46,11 @@ GLRLM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
 N26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
        for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
 N6 = [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
+# The reference's 3D NGLDM shifts table (3d_ngldm.cpp:12-40) replicates the
+# 2D 8-neighborhood at dz=0/+1/-1 and OMITS the two axial (0,0,+-1)
+# neighbors -- 24 shifts, not 26 (unlike 3d_gldm.cpp:16-48 which appends
+# them).  Pinned by the reference-binary fixture, so we match it.
+N24_NGLDM = [s for s in N26 if not (s[1] == 0 and s[2] == 0)]
 
 
 def shifted3d(arr, dx: int, dy: int, dz: int, fill=0):
@@ -397,7 +402,8 @@ def ngtdm3d_all(levels, valid, zeroI: int, nmax: int, radius: int,
 def ngldm3d_all(intens, aabb, vmax, n_levels: int, nmax: int, ibsi: bool,
                 vmin, noval: float, dtype):
     """Interior-voxel NGLDM with to_grayscale binning over the whole cube,
-    including off-ROI zeros (3d_ngldm.cpp:123-166 does NOT skip background).
+    including off-ROI zeros (3d_ngldm.cpp:123-166 does NOT skip background),
+    over the reference's 24-neighbor set (N24_NGLDM; 3d_ngldm.cpp:12-40).
 
     Faithful 3D-reference conventions (3d_ngldm.cpp:261-357), which differ
     from the 2D family:
@@ -418,13 +424,13 @@ def ngldm3d_all(intens, aabb, vmax, n_levels: int, nmax: int, ibsi: bool,
     interior = aabb["interior"]
 
     matches = jnp.zeros(lev.shape, jnp.int32)
-    for dz, dy, dx in N26:
+    for dz, dy, dx in N24_NGLDM:
         ok = shifted3d(inb, dx, dy, dz, fill=False)
         nl = shifted3d(lev, dx, dy, dz, fill=-99)
         matches = matches + (ok & (nl == lev)).astype(jnp.int32)
 
     nb = nmax + 1
-    NR = 27
+    NR = 25                     # 24-neighbor dependence + the zero column
     lev_idx = jnp.clip(lev, 0, nb - 1).reshape(B, -1)
     m_idx = jnp.clip(matches, 0, NR - 1).reshape(B, -1)
     w = interior.reshape(B, -1).astype(dtype)

@@ -322,6 +322,10 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         if ibsi:
             return 0, ng_ibsi
         g = cfg.texture_greydepth3(family) if family else cfg.coarse_gray_depth
+        if g == 0:
+            # per-family zero default -> raw-intensity levels sized by the
+            # slide max (texture_feature.h:71-75)
+            return 0, max(int(smax), 2)
         return g, g
 
     want = set(families)
@@ -362,7 +366,7 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         accs["gldm"] = np.zeros((ng_gldm, 27))
     if "D3_NGLDM_feature" in want:
         nb_ngldm = (ng_ibsi if ibsi else cfg.coarse_gray_depth) + 1
-        accs["ngldm_P"] = np.zeros((nb_ngldm, 27))
+        accs["ngldm_P"] = np.zeros((nb_ngldm, 25))
         accs["ngldm_present"] = np.zeros(nb_ngldm, bool)
     if "D3_NGTDM_feature" in want:
         gi_ngtdm, ng_ngtdm = grey("ngtdm")
@@ -377,7 +381,14 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         surf = dict(n=0, faces=0, hull_pts=[],
                     s=np.zeros(3), ss=np.zeros((3, 3)))
 
-    r_ngtdm = cfg.ngtdm_radius if "D3_NGTDM_feature" in want else 1
+    r_ngtdm = cfg.d3_ngtdm_radius if "D3_NGTDM_feature" in want else 1
+    if r_ngtdm <= 0:
+        # radius 0 short-circuits to all-zero members at finalize; skip the
+        # per-slice neighborhood accumulation entirely
+        want_ngtdm_accum = False
+        r_ngtdm = 1
+    else:
+        want_ngtdm_accum = True
     off_glcm = cfg.glcm3_offset if "D3_GLCM_feature" in want else 1
     zwin = max(r_ngtdm, off_glcm, 1)
 
@@ -495,7 +506,9 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
                 nlv = ngldm_lev(zz)
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
-                        if dz == 0 and dy == 0 and dx == 0:
+                        # reference 3D NGLDM omits the axial (0,0,+-1)
+                        # neighbors -- 24 shifts (3d_ngldm.cpp:12-40)
+                        if dy == 0 and dx == 0:
                             continue
                         sh = _shift2(nlv, dy, dx, fill=-99)
                         inb = _shift2(np.ones_like(lv), dy, dx) > 0
@@ -507,12 +520,12 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
                 interior = ((ys >= 1) & (ys < H_ - 1) &
                             (xs >= 1) & (xs < W_ - 1))
                 _pair_hist_np(np.clip(lv, 0, nbv - 1),
-                              np.clip(matches, 0, 26),
-                              interior.astype(np.float64), nbv, 27,
+                              np.clip(matches, 0, 24),
+                              interior.astype(np.float64), nbv, 25,
                               accs["ngldm_P"])
             accs["ngldm_present"][np.unique(np.clip(lv, 0, nbv - 1))] = True
 
-        if "D3_NGTDM_feature" in want:
+        if "D3_NGTDM_feature" in want and want_ngtdm_accum:
             lv = lev_at(z, gi_ngtdm).astype(np.int64)
             zero_i = 1 if gi_ngtdm > 0 else 0
             lv_f = lv.astype(np.float64)
@@ -560,8 +573,8 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         wt[0, :hist.vals.size] = hist.cnts
         res = pixel_intensity_features(
             jnp.asarray(va), jnp.asarray([hist.area], jnp.int64),
-            vmin1, vmax1, jnp.ones((1,), dtype), cfg.coarse_gray_depth,
-            cfg.noval, weights=jnp.asarray(wt))
+            vmin1, vmax1, jnp.asarray([smax - smin], dtype),
+            cfg.coarse_gray_depth, cfg.noval, weights=jnp.asarray(wt))
         out["D3_VoxelIntensityFeatures"] = to_scalar(res)
 
     if "D3_GLCM_feature" in want:
@@ -610,7 +623,14 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         out["D3_NGLDM_feature"] = to_scalar(t3.ngldm3d_from_matrix(
             P, pres, vmin1, vmax1, cfg.noval, dtype))
 
-    if "D3_NGTDM_feature" in want:
+    if "D3_NGTDM_feature" in want and cfg.d3_ngtdm_radius <= 0:
+        # reference default: radius 0 -> empty neighborhood -> all-zero
+        # members (env_features.cpp:712-736, 3d_ngtdm.cpp:92-110)
+        out["D3_NGTDM_feature"] = {
+            m: 0.0 for m in ("NGTDM_COARSENESS", "NGTDM_CONTRAST",
+                             "NGTDM_BUSYNESS", "NGTDM_COMPLEXITY",
+                             "NGTDM_STRENGTH")}
+    elif "D3_NGTDM_feature" in want:
         N = jnp.asarray(accs["ngtdm_N"][None], dtype)
         S = jnp.asarray(accs["ngtdm_S"][None], dtype)
         pres = np.array(accs["ngtdm_present"])

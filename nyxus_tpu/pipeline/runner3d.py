@@ -97,7 +97,11 @@ def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
 
 class Ctx3D:
     def __init__(self, intens, mask, area, vmin, vmax, dd, hh, ww, cfg,
-                 static_meta=()):
+                 static_meta=(), slide_range=None):
+        # slide intensity range (max - min over the volume's masked voxels):
+        # COVERED_IMAGE_INTENSITY_RANGE divides the ROI range by it
+        # (3d_intensity.cpp:57-65 uses the slide's pre-ROI extrema)
+        self.slide_range = slide_range
         self.intens = intens
         self.mask = mask
         self.area = area
@@ -138,14 +142,20 @@ def _grey(ctx, cfg, family=None):
     if cfg.ibsi:
         return 0, int(ctx.static_meta.get("max_int", 256))
     g = cfg.texture_greydepth3(family) if family else cfg.coarse_gray_depth
+    if g == 0:
+        # per-family zero default -> no binning: raw intensity levels
+        # (texture_feature.h:71-75), matrix sized by the slide max
+        return 0, int(ctx.static_meta.get("max_int", 256))
     return g, g
 
 
 def _f_intensity(ctx, cfg):
     sv = ops_common.sort_masked_values(ctx.intens, ctx.mask)
+    rng = (ctx.slide_range if ctx.slide_range is not None
+           else jnp.ones_like(ctx.vmin))
     return ops_intensity.pixel_intensity_features(
         sv, ctx.area, ctx.vmin, ctx.vmax,
-        jnp.ones_like(ctx.vmin), cfg.coarse_gray_depth, cfg.noval)
+        rng, cfg.coarse_gray_depth, cfg.noval)
 
 
 def _f_glcm(ctx, cfg):
@@ -216,11 +226,20 @@ def _f_ngldm(ctx, cfg):
 
 
 def _f_ngtdm(ctx, cfg):
+    if cfg.d3_ngtdm_radius <= 0:
+        # reference default: NGTDM_RADIUS is zero-initialized
+        # (env_features.cpp:712-736), so 3d_ngtdm.cpp:92-110's Chebyshev
+        # neighborhood is empty, no zone is ever pushed, and the binary
+        # emits 0.0 for all five members
+        z = jnp.zeros((ctx.B,), ctx.intens.dtype)
+        return {m: z for m in ("NGTDM_COARSENESS", "NGTDM_CONTRAST",
+                               "NGTDM_BUSYNESS", "NGTDM_COMPLEXITY",
+                               "NGTDM_STRENGTH")}
     gi, ng = _grey(ctx, cfg, "ngtdm")
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     return t3.ngtdm3d_all(jnp.where(ctx.aabb, lev, 0), ctx.aabb, zero_i, ng,
-                          cfg.ngtdm_radius, ctx.vmin, ctx.vmax, cfg.noval,
+                          cfg.d3_ngtdm_radius, ctx.vmin, ctx.vmax, cfg.noval,
                           ctx.intens.dtype, ibsi=gi == 0)
 
 
@@ -238,8 +257,9 @@ FAMILIES3D = {
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
 def _extract3d(intens, mask, area, vmin, vmax, dd, hh, ww, families, cfg,
-               static_meta=()):
-    ctx = Ctx3D(intens, mask, area, vmin, vmax, dd, hh, ww, cfg, static_meta)
+               static_meta=(), slide_range=None):
+    ctx = Ctx3D(intens, mask, area, vmin, vmax, dd, hh, ww, cfg, static_meta,
+                slide_range=slide_range)
     return {name: FAMILIES3D[name](ctx, cfg) for name in families}
 
 
@@ -362,19 +382,22 @@ class VolumeRunner:
             dd = jnp.asarray([r.depth for r in brecs], jnp.int32)
             hh = jnp.asarray([r.height for r in brecs], jnp.int32)
             ww = jnp.asarray([r.width for r in brecs], jnp.int32)
-            static_meta = ()
-            if self.cfg.ibsi:
-                # volume-level power-of-two ceiling bounds IBSI recompiles
-                # (per-batch maxes churned one compile each; see runner.py)
-                ceil = max(int(smax), 2)
-                ceil = 1 << (ceil - 1).bit_length()
-                static_meta = (("max_int", ceil),)
-            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww)
+            # volume-level power-of-two ceiling bounds recompiles (per-batch
+            # maxes churned one compile each; see runner.py).  Needed beyond
+            # IBSI: the per-family zero-default greydepths
+            # (GLRLM/GLSZM/GLDM/NGTDM, env_features.cpp:712-736) select raw
+            # intensity levels, whose matrices are sized by the slide max.
+            ceil = max(int(smax), 2)
+            ceil = 1 << (ceil - 1).bit_length()
+            static_meta = (("max_int", ceil),)
+            srange = jnp.full((len(brecs),), smax - smin, dtype)
+            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww, srange)
             if self.mesh is not None:
                 from ..parallel import shard_batch
                 batch_args, _ = shard_batch(self.mesh, batch_args)
-            out = _extract3d(*batch_args,
-                             self.families, self.cfg, static_meta)
+            out = _extract3d(*batch_args[:8],
+                             self.families, self.cfg, static_meta,
+                             slide_range=batch_args[8])
             out = jax.device_get(out)
             rows = np.asarray(idxs)
             for members in out.values():

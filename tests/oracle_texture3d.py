@@ -19,8 +19,11 @@ GLRLM_SHIFTS = [(1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, 1), (1, 0, 0),
                 (1, 0, -1), (1, -1, 1), (1, -1, 0), (1, -1, -1), (0, 1, 1),
                 (0, 1, 0), (0, 1, -1), (0, 0, 1)]
 
+# 3d_ngldm.cpp:12-40's shift table omits the axial (0,0,+-1) pair: the 3D
+# NGLDM neighborhood is 24 voxels, not 26 (unlike 3d_gldm.cpp:16-48)
 N26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
        for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
+N24_NGLDM = [s for s in N26 if not (s[1] == 0 and s[2] == 0)]
 N6 = [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
 
 
@@ -348,7 +351,7 @@ def ngldm3d_features(crop, n_levels):
         for y in range(1, H - 1):
             for x in range(1, W - 1):
                 m = 0
-                for dz, dy, dx in N26:
+                for dz, dy, dx in N24_NGLDM:
                     z2, y2, x2 = z + dz, y + dy, x + dx
                     if 0 <= z2 < D and 0 <= y2 < H and 0 <= x2 < W \
                             and lev[z2, y2, x2] == lev[z, y, x]:

@@ -97,3 +97,53 @@ def test_radiomics_binning_parity():
     # radiomics mode has no IBSI IH_* family -> fewer columns
     ours = _run(dict(coarse_gray_depth=-32), ibsi=False)
     _compare(ref, ours, 600, skip_prefixes=RADIOMICS_REFERENCE_DEFECTS)
+
+
+def test_3d_reference_binary_parity():
+    """All *3D_ALL* columns against the reference BINARY's own 3D output
+    (NIfTI volume pair, --dim=3) -- the first binary-pinned 3D config
+    (previous 3D oracles: pyradiomics goldens + invariants).  Fixture via
+    tools/gen_config_fixtures.gen_3d."""
+    from tests.test_oversized import _blob3d
+    from nyxus_tpu.pipeline.runner3d import VolumeRunner
+
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_3d_48x56x60_seed4.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, labels = _blob3d(seed=4, shape=(48, 56, 60))
+    intens = (intens % 59 + 1).astype(np.uint16)
+    fset = tx.parse_feature_request(["*3D_ALL*"], dim=3)
+    runner = VolumeRunner(fset, EngineConfig(precision="f64"))
+    labs, values = runner.run(intens, labels.astype(np.int32))
+    cols, _ = col.build_header(fset, EngineConfig())
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    assert list(ref.index) == list(ours.index)
+    # No exclusions: every comparable column is pinned.  Key semantics that
+    # make this exact (all verified against the binary):
+    # * env_features.cpp:712-736 zero-initializes the per-family 3D
+    #   GLRLM/GLSZM/GLDM/NGTDM greydepth settings -> greyInfo=0 -> the
+    #   no-binning path (raw-intensity levels, background excluded)
+    # * NGTDM_RADIUS also defaults to 0 -> empty neighborhood -> the binary
+    #   emits 0.0 for all five 3NGTDM members
+    # * 3d_ngldm.cpp:12-40's shift table has only 24 neighbors (the axial
+    #   (0,0,+-1) pair is absent, unlike 3d_gldm.cpp:16-48)
+    failures = []
+    checked = 0
+    for c in ours.columns:
+        if c not in ref.columns:
+            continue
+        a = ours[c].to_numpy(float)
+        b = ref[c].to_numpy(float)
+        both = np.isfinite(a) & np.isfinite(b)
+        if both.sum() == 0:
+            continue
+        denom = np.maximum(np.abs(b[both]), 1e-6)
+        rel = np.abs(a[both] - b[both]) / denom
+        p90 = float(np.quantile(rel, 0.9))
+        checked += 1
+        if p90 > DEFAULT_TOL:
+            failures.append((c, round(p90, 6)))
+    assert checked > 200, checked
+    assert not failures, failures[:40]

@@ -30,7 +30,16 @@ def _rtol(member, tight):
 @pytest.fixture(scope="module")
 def extracted(blob_volume):
     intens, labels = blob_volume
-    cfg = EngineConfig(precision="f64")
+    # The reference DEFAULT 3D config leaves the per-family
+    # GLRLM/GLSZM/GLDM/NGTDM greydepths and the NGTDM radius at zero
+    # (env_features.cpp:712-736): no binning / all-zero NGTDM.  That
+    # default is pinned against the reference binary in
+    # test_config_parity.test_3d_reference_binary_parity; HERE we cover the
+    # matlab-binned path by selecting it explicitly (the metaparam route:
+    # --featureParams=3glrlm/greydepth=64,3ngtdm/radius=1,...).
+    cfg = EngineConfig(precision="f64", d3_glrlm_greydepth=64,
+                       d3_glszm_greydepth=64, d3_gldm_greydepth=64,
+                       d3_ngtdm_greydepth=64, d3_ngtdm_radius=1)
     fset = tx.parse_feature_request(["*3D_ALL_TEXTURE*", "*3D_NGLDM*",
                                      "*3D_NGTDM*"], dim=3)
     runner = VolumeRunner(fset, cfg)
@@ -134,7 +143,7 @@ def test_ngtdm3d(extracted):
     _, _, _, _, _, cfg = extracted
     for lab, crop, row, _area in _rows(extracted):
         ref = o3.ngtdm3d_features(crop, cfg.coarse_gray_depth,
-                                  cfg.ngtdm_radius)
+                                  cfg.d3_ngtdm_radius)
         if ref is None:
             continue
         for m, want in ref.items():

@@ -70,8 +70,10 @@ ORACLE_OF = {
     "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden", ("ibsi",)),
     "test_reference_parity.py": ("reference-binary-csv", "golden",
                                  ("default",)),
+    # ibsi + radiomics-bin 2D fixtures, plus the DEFAULT-config 3D fixture
+    # (test_3d_reference_binary_parity: *3D_ALL* vs the binary's --dim=3 run)
     "test_config_parity.py": ("reference-binary-csv", "golden",
-                              ("ibsi", "radiomics-bin")),
+                              ("ibsi", "radiomics-bin", "default")),
     "test_aniso.py": ("reference-binary-csv+virtual-oracle", "golden",
                       ("aniso",)),
     "test_wholeslide_parity.py": ("reference-binary-csv", "golden",

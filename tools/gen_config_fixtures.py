@@ -53,3 +53,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gen_3d(binary="/tmp/refbuild/nyxus"):
+    """tests/data/ref_3d_48x56x60_seed4.csv.gz: the reference CLI's
+    *3D_ALL* CSV on the 3D parity volume (test_oversized._blob3d seed 4,
+    intensities compressed to 1..59), via NIfTI pairs and --dim=3."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    from test_oversized import _blob3d
+    from nyxus_tpu.io.readers import write_nifti
+    intens, labels = _blob3d(seed=4, shape=(48, 56, 60))
+    intens = (intens % 59 + 1).astype(np.uint16)
+    base = "/tmp/parity3d"
+    shutil.rmtree(base, ignore_errors=True)
+    for d in ("int", "seg"):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+    write_nifti(os.path.join(base, "int", "vol1.nii"), intens)
+    write_nifti(os.path.join(base, "seg", "vol1.nii"),
+                labels.astype(np.uint16))
+    out = os.path.join(base, "out")
+    os.makedirs(out, exist_ok=True)
+    subprocess.run([binary, "--features=*3D_ALL*", "--dim=3",
+                    "--intDir=%s/int" % base, "--segDir=%s/seg" % base,
+                    "--outDir=" + out, "--outputType=singlecsv",
+                    "--reduceThreads=2"], check=True, capture_output=True)
+    dst = os.path.join(HERE, "tests", "data", "ref_3d_48x56x60_seed4.csv.gz")
+    with open(os.path.join(out, "NyxusFeatures.csv"), "rb") as f, \
+            gzip.open(dst, "wb") as g:
+        g.write(f.read())
+    print("wrote", dst)
