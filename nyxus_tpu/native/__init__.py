@@ -37,8 +37,19 @@ _SOURCES = ("tiff_reader.cpp", "csv_writer.cpp", "zarr_codec.cpp",
             "discover.cpp")
 
 
+_CFLAGS = ("-O3", "-march=native", "-ffp-contract=off")
+
+
 def _needs_build() -> bool:
     if not os.path.exists(_LIB):
+        return True
+    # flag stamp: changing compile flags must invalidate the cached .so
+    # (source mtimes alone once left a stale build in place)
+    stamp = _LIB + ".flags"
+    try:
+        if open(stamp).read() != " ".join(_CFLAGS):
+            return True
+    except OSError:
         return True
     lib_mtime = os.path.getmtime(_LIB)
     return any(
@@ -48,11 +59,21 @@ def _needs_build() -> bool:
 def _build():
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     srcs = [os.path.join(_SRC, s) for s in _SOURCES]
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
-           *srcs, "-ltiff"]
+    # -march=native is safe: the .so is built on first use on the machine
+    # that runs it (never committed; _needs_build rebuilds on source change)
+    # -ffp-contract=off: FMA contraction changes double rounding and breaks
+    # bit-parity with the reference/oracle float semantics
+    # -march=native is safe: the .so is built on first use on the machine
+    # that runs it (never committed; _needs_build rebuilds on source change).
+    # -ffp-contract=off: FMA contraction would change double rounding and
+    # break bit-parity with the reference/oracle float semantics.
+    cmd = ["g++", *_CFLAGS, "-shared",
+           "-fPIC", "-std=c++17", "-o", _LIB, *srcs, "-ltiff"]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     if proc.returncode != 0:
         raise RuntimeError("native build failed:\n" + proc.stderr)
+    with open(_LIB + ".flags", "w") as f:
+        f.write(" ".join(_CFLAGS))
 
 
 def _load():

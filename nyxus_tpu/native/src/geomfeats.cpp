@@ -232,7 +232,18 @@ void nyx_chords_one(const int64_t* gx, const int64_t* gy, const double* inten,
     std::vector<double> ACv, ACang, MCang;
     std::vector<long> ACl;
     std::vector<long> xi(n), yi(n);
-    std::vector<double> img;  // raster buffer, reused across angles
+    std::vector<double> relx(n), rely(n);         // hoisted int->double
+    for (long i = 0; i < n; i++) {
+        relx[i] = (double)gx[i] - cenx;
+        rely[i] = (double)gy[i] - ceny;
+    }
+    // epoch-stamped raster (no per-angle clear): cell value (epoch<<1)|nz
+    // marks a cell written this angle with the LAST writer's nonzero flag
+    // (same last-writer-wins as the double raster it replaces).
+    // thread_local: reused across ROIs of one worker thread
+    static thread_local std::vector<uint32_t> stamp;
+    static thread_local std::vector<long> curv, bestv;
+    static thread_local uint32_t epoch = 0;
     double angStep = M_PI / (double)n_angle_segments;
     for (double ang = 0; ang < M_PI; ang += angStep) {
         float ang32 = (float)ang;                 // float theta parameter
@@ -241,10 +252,8 @@ void nyx_chords_one(const int64_t* gx, const int64_t* gy, const double* inten,
         long minx = INT64_MAX, miny = INT64_MAX, maxx = INT64_MIN,
              maxy = INT64_MIN;
         for (long i = 0; i < n; i++) {
-            double xr = ((double)gx[i] - cenx) * c - ((double)gy[i] - ceny) * s
-                        + cenx;
-            double yr = ((double)gy[i] - ceny) * c + ((double)gx[i] - cenx) * s
-                        + ceny;
+            double xr = relx[i] * c - rely[i] * s + cenx;
+            double yr = rely[i] * c + relx[i] * s + ceny;
             xi[i] = (long)(float)xr;              // Pixel2(float) truncation
             yi[i] = (long)(float)yr;
             minx = std::min(minx, xi[i]);
@@ -253,24 +262,66 @@ void nyx_chords_one(const int64_t* gx, const int64_t* gy, const double* inten,
             maxy = std::max(maxy, yi[i]);
         }
         long wr = maxx - minx + 1, hr = maxy - miny + 1;
-        img.assign((size_t)(wr * hr), 0.0);
-        for (long i = 0; i < n; i++)              // last writer wins
-            img[(size_t)((yi[i] - miny) * wr + (xi[i] - minx))] = inten[i];
+        if ((size_t)(wr * hr) > stamp.size()) {
+            stamp.assign((size_t)(wr * hr), 0);
+            epoch = 0;
+        }
+        if (epoch >= 0x7ffffff0u) {               // headroom for epoch<<1
+            std::fill(stamp.begin(), stamp.end(), 0);
+            epoch = 0;
+        }
+        epoch++;
+        for (long i = 0; i < n; i++) {            // last writer wins
+            size_t cell = (size_t)((yi[i] - miny) * wr + (xi[i] - minx));
+            stamp[cell] = (epoch << 1) | (uint32_t)(inten[i] != 0.0);
+        }
         long step = wr >= 2 * n_side_segments ? wr / n_side_segments : 1;
         long tcBest = 0;
         bool tcAny = false;
-        for (long col = 0; col < wr; col += step) {
-            // get_chlen (image_matrix.cpp:206-236): longest NONZERO run
-            // TERMINATED by a zero; a run touching the bottom edge is lost
-            long best = 0, cur = 0;
-            for (long row = 0; row < hr; row++) {
-                if (img[(size_t)(row * wr + col)] != 0.0) cur++;
-                else { best = std::max(best, cur); cur = 0; }
+        // get_chlen (image_matrix.cpp:206-236): per column, longest NONZERO
+        // run TERMINATED by a zero; a run touching the bottom edge is lost
+        // (the final open run is never flushed)
+        if (step == 1) {
+            // row-major sweep with per-column run state (cache-friendly; a
+            // column-major walk strided every read across cache lines)
+            if ((size_t)wr > curv.size()) {
+                curv.resize((size_t)wr);
+                bestv.resize((size_t)wr);
             }
-            if (best > 0) {
-                ACl.push_back(best);
-                ACang.push_back(ang);
-                if (!tcAny || best > tcBest) { tcBest = best; tcAny = true; }
+            std::fill(curv.begin(), curv.begin() + wr, 0);
+            std::fill(bestv.begin(), bestv.begin() + wr, 0);
+            const uint32_t want = epoch << 1;
+            for (long row = 0; row < hr; row++) {
+                const uint32_t* base = stamp.data() + (size_t)(row * wr);
+                for (long col = 0; col < wr; col++) {
+                    if (base[col] == (want | 1u)) curv[col]++;
+                    else {
+                        bestv[col] = std::max(bestv[col], curv[col]);
+                        curv[col] = 0;
+                    }
+                }
+            }
+            for (long col = 0; col < wr; col++) {
+                long best = bestv[col];
+                if (best > 0) {
+                    ACl.push_back(best);
+                    ACang.push_back(ang);
+                    if (!tcAny || best > tcBest) { tcBest = best; tcAny = true; }
+                }
+            }
+        } else {
+            for (long col = 0; col < wr; col += step) {
+                long best = 0, cur = 0;
+                for (long row = 0; row < hr; row++) {
+                    uint32_t v = stamp[(size_t)(row * wr + col)];
+                    if (v == ((epoch << 1) | 1u)) cur++;
+                    else { best = std::max(best, cur); cur = 0; }
+                }
+                if (best > 0) {
+                    ACl.push_back(best);
+                    ACang.push_back(ang);
+                    if (!tcAny || best > tcBest) { tcBest = best; tcAny = true; }
+                }
             }
         }
         if (tcAny) { MCv.push_back(tcBest); MCang.push_back(ang); }
