@@ -128,6 +128,11 @@ def _nested_post_pass(args, df):
         print("wrote", out)
 
 
+# full-double CSV precision, one constant for the native writer, its pandas
+# fallback, and the Arrow path (io/writers.py uses the same 17)
+_CSV_PRECISION = 17
+
+
 def _rows_to_csv(nyx, ipath, lpath, labs, values, path, append):
     """Stream one slide's rows to CSV through the native writer
     (src/csv_writer.cpp; pandas.to_csv + the 750-column DataFrame build
@@ -144,7 +149,7 @@ def _rows_to_csv(nyx, ipath, lpath, labs, values, path, append):
     prefixes = ["%s,%s,%d,0" % (ipath, lpath, int(l)) for l in labs]
     header = None if append else ",".join(nyx.header)
     native.write_csv(path, header, prefixes, vals, append=append,
-                     precision=12)
+                     precision=_CSV_PRECISION)
 
 
 def main(argv=None):
@@ -236,9 +241,15 @@ def main(argv=None):
                 base = os.path.splitext(
                     os.path.basename(lpath or ipath or "wholeslide"))[0]
                 out_i = os.path.join(args.outDir, base + ".csv")
-                futs.append(wex.submit(_rows_to_csv, nyx, ipath, lpath,
-                                       labs, values, out_i, False))
-                print("wrote", out_i)
+
+                def _write_one(ip=ipath, lp=lpath, lb=labs, vv=values,
+                               po=out_i):
+                    # 'wrote' printed AFTER the write so the log reflects
+                    # reality (a failure also surfaces via fu.result())
+                    _rows_to_csv(nyx, ip, lp, lb, vv, po, False)
+                    print("wrote", po)
+
+                futs.append(wex.submit(_write_one))
             wrote_any = True
         wex.shutdown(wait=True)
         for fu in futs:

@@ -111,7 +111,7 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         for name in ("nyx_lz4_decompress", "nyx_lz4_compress",
                      "nyx_blosc_decompress"):
             fn = getattr(lib, name)
@@ -288,7 +288,7 @@ def write_csv(path, header, row_prefixes, values, noval_text="nan",
         path.encode(), header.encode() if header else None, arr,
         values.ctypes.data_as(ctypes.c_void_p), n, values.shape[1],
         noval_text.encode(), 1 if append else 0, precision,
-        1 if sub_negzero else 0)
+        1 if sub_negzero else 0, _n_threads())
     if rc != 0:
         raise IOError("CSV write failed (rc=%d)" % rc)
 
@@ -515,6 +515,20 @@ _DISCOVER_DTYPES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
                     np.dtype(np.uint32): 2, np.dtype(np.int32): 3,
                     np.dtype(np.float32): 4, np.dtype(np.float64): 5,
                     np.dtype(np.int64): 6}
+
+
+def _labels_i32(labels_img):
+    """Contiguous int32 view of a label image; raises instead of silently
+    wrapping labels >= 2**31 negative (uint32/uint64 label schemes --
+    callers fall back to the numpy paths, pipeline.labels)."""
+    labels_img = np.asarray(labels_img)
+    if (labels_img.dtype == np.uint32
+            or (labels_img.dtype.kind in "iu"
+                and labels_img.dtype.itemsize > 4)) \
+            and labels_img.size and int(labels_img.max()) >= 2 ** 31:
+        raise ValueError("labels exceed int32 range; the native scan "
+                         "cannot represent them (use the numpy fallback)")
+    return np.ascontiguousarray(labels_img, np.int32)
 _discover_lock = threading.Lock()
 
 
@@ -529,7 +543,7 @@ def discover(labels_img, intens, want_clouds=False):
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable: %r" % _build_err)
-    labels_img = np.ascontiguousarray(labels_img, np.int32)
+    labels_img = _labels_i32(labels_img)
     intens = np.ascontiguousarray(intens)
     if intens.dtype not in _DISCOVER_DTYPES:
         intens = np.ascontiguousarray(intens, np.float64)
@@ -650,7 +664,7 @@ def contours_batch(labels_img, intens_img, recs):
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable: %r" % _build_err)
-    labels_img = np.ascontiguousarray(labels_img, np.int32)
+    labels_img = _labels_i32(labels_img)
     intens_img = np.ascontiguousarray(intens_img, np.int64)
     H, W = labels_img.shape
     n = len(recs)

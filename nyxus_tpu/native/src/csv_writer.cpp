@@ -60,11 +60,14 @@ extern "C" {
 
 // Write (or append to) a CSV file.  Args as before; precision selects
 // "%.<precision>g" (the reference's CSV stage prints "%g" = 6,
-// output_2_csv.cpp:225).  Returns 0 on success.
+// output_2_csv.cpp:225).  n_threads_req <= 0 means hardware concurrency.
+// Rows are formatted+flushed in fixed-size chunks so peak memory stays
+// bounded on 10^5+-ROI whole-slide tables.  Returns 0 on success.
 int nyxcsv_write(const char* path, const char* header,
                  const char** row_prefixes, const double* values,
                  int64_t nrows, int64_t ncols, const char* noval_text,
-                 int append, int precision, int sub_negzero) {
+                 int append, int precision, int sub_negzero,
+                 int n_threads_req) {
     char fmt[16];
     std::snprintf(fmt, sizeof fmt, "%%.%dg", precision > 0 ? precision : 6);
     FILE* f = std::fopen(path, append ? "ab" : "wb");
@@ -73,23 +76,30 @@ int nyxcsv_write(const char* path, const char* header,
         std::fputs(header, f);
         std::fputc('\n', f);
     }
-    std::vector<std::string> rows((size_t)nrows);
-    unsigned hw = std::thread::hardware_concurrency();
-    int n_threads = hw > 1 && nrows >= 16 ? (int)hw : 1;
-    auto worker = [&](int t) {
-        for (int64_t r = t; r < nrows; r += n_threads)
-            format_row(row_prefixes ? row_prefixes[r] : nullptr,
-                       values + r * ncols, ncols, fmt, noval_text,
-                       sub_negzero, rows[(size_t)r]);
-    };
-    if (n_threads == 1) {
-        worker(0);
-    } else {
-        std::vector<std::thread> ts;
-        for (int t = 0; t < n_threads; t++) ts.emplace_back(worker, t);
-        for (auto& t : ts) t.join();
+    const int64_t CHUNK = 4096;
+    int hw = n_threads_req > 0 ? n_threads_req
+                               : (int)std::thread::hardware_concurrency();
+    int n_threads = hw > 1 && nrows >= 16 ? hw : 1;
+    std::vector<std::string> rows(
+        (size_t)(nrows < CHUNK ? nrows : CHUNK));
+    for (int64_t base = 0; base < nrows; base += CHUNK) {
+        int64_t cn = nrows - base < CHUNK ? nrows - base : CHUNK;
+        auto worker = [&](int t) {
+            for (int64_t r = t; r < cn; r += n_threads)
+                format_row(row_prefixes ? row_prefixes[base + r] : nullptr,
+                           values + (base + r) * ncols, ncols, fmt,
+                           noval_text, sub_negzero, rows[(size_t)r]);
+        };
+        if (n_threads == 1) {
+            worker(0);
+        } else {
+            std::vector<std::thread> ts;
+            for (int t = 0; t < n_threads; t++) ts.emplace_back(worker, t);
+            for (auto& t : ts) t.join();
+        }
+        for (int64_t r = 0; r < cn; r++)
+            std::fwrite(rows[(size_t)r].data(), 1, rows[(size_t)r].size(), f);
     }
-    for (auto& s : rows) std::fwrite(s.data(), 1, s.size(), f);
     std::fclose(f);
     return 0;
 }

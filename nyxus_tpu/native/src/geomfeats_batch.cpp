@@ -474,7 +474,10 @@ void nyx_neighbors_batch(const double* kx, const double* ky,
                    ? std::sqrt(ss / (double)(angs.size() - 1)) : 0.0;
         long counts[361] = {0};
         for (double a : angs) {
-            long b = (long)std::lround(a);
+            // half-to-even to match the Python oracle's int(round(a))
+            // (neighbors_features_py); lround's half-away-from-zero binned
+            // exact .5-degree angles one bin higher (ADVICE r3)
+            long b = (long)std::nearbyint(a);
             if (b < 0) b = 0;
             if (b > 360) b = 360;
             counts[b]++;

@@ -74,12 +74,26 @@ def aniso_bbox(rec: RoiRecord, ax: float, ay: float,
                      report_bbox=report)
 
 
+def _native_labels_ok(labels: np.ndarray) -> bool:
+    """The native one-pass scan reads labels as int32; values >= 2**31
+    (legal in uint32/uint64 label schemes, e.g. encoded raster indices)
+    would wrap negative and silently mismatch every pixel.  Cheap dtypes
+    pass by construction; wide dtypes pay one max() scan."""
+    if labels.dtype.kind == "b":
+        return True
+    if labels.dtype.kind in "iu" and labels.dtype.itemsize <= 2:
+        return True
+    if labels.dtype == np.int32:
+        return True
+    return labels.size == 0 or int(labels.max()) < 2 ** 31
+
+
 def discover_rois_clouds(intens: np.ndarray, labels: np.ndarray):
     """discover_rois + concatenated raster-order pixel clouds per label
     (native one-pass kernel; clouds is None on the numpy fallback).
     Returns (records, slide_min, slide_max, clouds)."""
     from .. import native
-    if native.available():
+    if native.available() and _native_labels_ok(labels):
         rm, fmm, smin, smax, clouds = native.discover(labels, intens,
                                                       want_clouds=True)
         recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
@@ -97,7 +111,7 @@ def discover_rois(intens: np.ndarray, labels: np.ndarray):
     """Find all nonzero labels and their metrics. Returns (records, slide_min,
     slide_max) with records sorted by ascending label."""
     from .. import native
-    if native.available():
+    if native.available() and _native_labels_ok(labels):
         rm, fmm, smin, smax, _ = native.discover(labels, intens)
         recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
                           int(r[4]), int(r[5]), float(fmm[i, 0]),
@@ -176,7 +190,7 @@ def discover_rois_streamed(source, tile: int = 2048):
         for tx in range(0, W, tile):
             tw = min(tile, W - tx)
             ii, ll = source.read_pair(ty, tx, th, tw)
-            if use_native:
+            if use_native and _native_labels_ok(ll):
                 rm, fmm, tmin, tmax, _ = native.discover(ll, ii)
                 if not len(rm):
                     continue
