@@ -218,7 +218,8 @@ class Nyxus:
             I = np.maximum(np.round(I - hu_off), 0)
         elif min_raw < 0:
             I = I - min_raw
-        I = I.astype(np.uint32)
+        if I.dtype.kind != "u":     # narrow unsigned dtypes ship as-is
+            I = I.astype(np.uint32)
         M = label_images.astype(np.uint32)
 
         frames = []
@@ -467,6 +468,11 @@ class Nyxus:
                 off
         if intens.size and intens.min() < 0:
             intens = intens - intens.min()
+        if intens.dtype.kind == "u":
+            # keep the narrow dtype: uint16 slides ship to the device in
+            # half the bytes of the uint32 upcast (the tunneled H2D link
+            # is the throughput bottleneck)
+            return intens, 0.0
         return intens.astype(np.uint32), 0.0
 
     # -- ROI blacklist (reference: nyxus.py:771-830) -----------------------

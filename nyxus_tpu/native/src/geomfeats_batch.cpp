@@ -52,6 +52,10 @@ enum {
     G_RADIUS = 1 << 7,    // ROI_RADIUS_* (roi_radius.cpp:11-37)
     G_RADIAL = 1 << 8,    // FRAC_AT_D/MEAN_FRAC/RADIAL_CV
     G_LOGW = 1 << 9,      // weighted-moment log distances
+    G_LOGW_D2 = 1 << 10,  // with G_LOGW: emit the RAW squared distances
+                          // (exact small integers) so the caller can ship
+                          // them to the device compactly and take
+                          // log(sqrt(d2)+eps) there
 };
 
 // column layout (mirror GEOM_COLS in hostfeats.py)
@@ -259,9 +263,13 @@ void geom_one(const GeomIn& in, long r) {
                               K, want_min ? mind2.data() : nullptr,
                               want_max ? maxd2.data() : nullptr);
 
-    if ((in.groups & G_LOGW) && in.logw)
-        for (long i = 0; i < P; i++)
-            in.logw[ca + i] = std::log(std::sqrt(mind2[i]) + in.logw_eps);
+    if ((in.groups & G_LOGW) && in.logw) {
+        if (in.groups & G_LOGW_D2)
+            for (long i = 0; i < P; i++) in.logw[ca + i] = mind2[i];
+        else
+            for (long i = 0; i < P; i++)
+                in.logw[ca + i] = std::log(std::sqrt(mind2[i]) + in.logw_eps);
+    }
 
     if (in.groups & G_RADIUS) {
         double s = 0, mx = mind2[0];

@@ -32,6 +32,8 @@ GEOM_GROUPS = {
     "RadialDistributionFeature": 1 << 8,
 }
 G_LOGW = 1 << 9
+G_LOGW_D2 = 1 << 10     # with G_LOGW: emit raw squared distances (exact
+                        # small integers -> compact device transfer)
 
 # column layout of the [n, 74] geom matrix (mirrors geomfeats_batch.cpp)
 GEOM_W = 74
@@ -86,7 +88,7 @@ DIST_FAMILIES = ("RoiRadiusFeature", "RadialDistributionFeature")
 
 
 def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
-                 phase="all", exclude=()):
+                 phase="all", exclude=(), logw_raw=False):
     """Run the one-call geometry kernel over every host row; caches the
     result matrix on the HostContext so the per-family accessors below just
     slice columns.  Returns True when the native path ran.
@@ -106,6 +108,8 @@ def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
             groups |= GEOM_GROUPS.get(f, 0)
     if want_logw and phase in ("logw", "all"):
         groups |= G_LOGW
+        if logw_raw:
+            groups |= G_LOGW_D2
     if groups == 0:
         return False
     contours, recs_mat, flags = _geom_inputs(hc)
@@ -123,6 +127,7 @@ def compute_geom(hc, cfg, families, want_logw=False, logw_eps=0.0,
     hc.geom = out
     if want_lw:
         hc.logw_flat = logw
+        hc.logw_flat_is_d2 = bool(groups & G_LOGW_D2)
     return True
 
 

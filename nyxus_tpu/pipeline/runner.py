@@ -38,6 +38,22 @@ def _compute_dtype(cfg: EngineConfig):
 # output.  Keyed by the packed function's static signature.
 _BUCKET_LAYOUTS: dict = {}
 
+# single host-geometry worker: the native geom_batch calls release the GIL,
+# so they run truly concurrently with the main thread's crop assembly /
+# next-slide host stages on a second core.  ONE worker on purpose: the
+# logw phase must complete before the rest phase of the same pair (queue
+# order is the dependency).
+_HOST_EX = None
+
+
+def _host_executor():
+    global _HOST_EX
+    if _HOST_EX is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _HOST_EX = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="nyx-hostgeom")
+    return _HOST_EX
+
 
 def _bucket_key(families, cfg, static_meta, shape, has_contour):
     return (families, cfg, static_meta, shape, has_contour)
@@ -82,19 +98,39 @@ def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
 
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
-                                             "layout_key"))
+                                             "layout_key", "sizes"))
 def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
-                         layout_key=None):
+                         layout_key=None, sizes=None):
     """Run all feature families over EVERY bucket of a pair in ONE device
-    dispatch, returning one concatenated [sum(B), total_width] array.
+    dispatch, returning one concatenated [sum(B_real), total_width] array.
 
     The per-execution RPC overhead of the tunneled TPU runtime dominates
     small-kernel launches (~10-15 ms each); fusing the whole pair into a
     single executable + a single fetch removes it.  Each bucket entry is
-    (ci [B,h,w], cm [B,h,w] bool, meta_i [B,5] int32 (area, y0, x0, h, w),
-    meta_f [B,4] (vmin, vmax, slide_min, slide_max), lw [B,h,w] | None)."""
+    (ci [B,h,w], cm, meta_i [B,5] int32 (area, y0, x0, h, w),
+    meta_f [B,5] (vmin, vmax, slide_min, slide_max, hu_off), lw | None).
+
+    The tunneled H2D/D2H links are slow (~0.03-1 GB/s), so inputs arrive
+    compressed and are expanded on device: ci may be uint16/uint32 (cast to
+    the compute dtype, identical IEEE rounding to the host cast); cm may be
+    bit-packed uint8 [B,h,ceil(w/8)] (np.packbits big-endian); lw may be
+    raw integer squared contour distances (log(sqrt(d2)+eps) taken here).
+    ``sizes`` are the per-bucket REAL row counts: quantization pad rows are
+    dropped on device so they never cross the wire back."""
     outs = []
-    for (ci, cm, meta_i, meta_f, lw) in bucket_args:
+    for j, (ci, cm, meta_i, meta_f, lw) in enumerate(bucket_args):
+        dt = meta_f.dtype
+        w = ci.shape[2]
+        if ci.dtype != dt:
+            ci = ci.astype(dt)
+        if cm.dtype == jnp.uint8:        # bit-packed mask
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (cm[..., None] >> shifts) & jnp.uint8(1)
+            cm = bits.reshape(cm.shape[0], cm.shape[1], -1)[:, :, :w] != 0
+        if lw is not None and lw.dtype in (jnp.uint16, jnp.uint32):
+            from ..ops.moments import WEIGHTING_EPSILON
+            lw = jnp.log(jnp.sqrt(lw.astype(dt))
+                         + jnp.asarray(WEIGHTING_EPSILON, dt))
         ctx = registry.BatchContext(
             ci, cm, meta_i[:, 0], meta_f[:, 0], meta_f[:, 1],
             meta_i[:, 1], meta_i[:, 2], meta_f[:, 2], meta_f[:, 3],
@@ -104,7 +140,6 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
         parts = []
         layout = {}
         off = 0
-        dt = ci.dtype
         for fam in sorted(out):
             for member in sorted(out[fam]):
                 arr = out[fam][member]
@@ -115,8 +150,11 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
         prev = _BUCKET_LAYOUTS.setdefault(layout_key, layout)
         assert prev == layout, \
             "bucket layout collision for key %r" % (layout_key,)
-        outs.append(jnp.concatenate(parts, axis=1) if parts
-                    else jnp.zeros((ci.shape[0], 0), dt))
+        packed = (jnp.concatenate(parts, axis=1) if parts
+                  else jnp.zeros((ci.shape[0], 0), dt))
+        if sizes is not None and sizes[j] < packed.shape[0]:
+            packed = packed[:sizes[j]]
+        outs.append(packed)
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
@@ -487,6 +525,11 @@ class PairRunner:
             host_rows.sort()
         hc = None
         hrow_pos = {}
+        fut_logw = None
+        # lw ships as raw integer squared contour distances on the f32 lane
+        # (u16/u32, log(sqrt(d2)+eps) taken on device); the f64 lane keeps
+        # the host-computed log values bit-for-bit (parity pins)
+        lw_raw = self.mesh is None and dtype == jnp.float32
         if (pre_host or post_host or self._needs_logw) and host_rows:
             rows = np.asarray(host_rows)
             over_local = frozenset(j for j, i in enumerate(host_rows)
@@ -507,22 +550,33 @@ class PairRunner:
             if contours is not None:
                 # phase "logw" of the native geometry pass: only the
                 # per-pixel log distances the device batches consume; the
-                # heavy feature groups run later, overlapping device exec
-                with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
-                    hc.clouds = _build_clouds(recs, host_rows, over_set,
-                                              resident, padded_crop,
-                                              pre=pre_clouds)
-                    from . import hostfeats
-                    from ..ops.moments import WEIGHTING_EPSILON
-                    act_fams = registry.activated_families(self.fset)
-                    # the ROI-radius / radial families share the per-pixel
-                    # contour-distance search with logw: one native call
-                    hostfeats.compute_geom(
-                        hc, self.cfg,
-                        tuple(f for f in hostfeats.DIST_FAMILIES
-                              if f in act_fams),
-                        want_logw=self._needs_logw,
-                        logw_eps=WEIGHTING_EPSILON, phase="logw")
+                # heavy feature groups run later, overlapping device exec.
+                # On the fused path this runs on the host worker thread
+                # (native, GIL-free) CONCURRENTLY with the main thread's
+                # crop assembly; the lw build joins it before dispatch.
+                def logw_work():
+                    with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
+                        hc.clouds = _build_clouds(recs, host_rows, over_set,
+                                                  resident, padded_crop,
+                                                  pre=pre_clouds)
+                        from . import hostfeats
+                        from ..ops.moments import WEIGHTING_EPSILON
+                        act_fams = registry.activated_families(self.fset)
+                        # the ROI-radius / radial families share the
+                        # per-pixel contour-distance search with logw:
+                        # one native call
+                        hostfeats.compute_geom(
+                            hc, self.cfg,
+                            tuple(f for f in hostfeats.DIST_FAMILIES
+                                  if f in act_fams),
+                            want_logw=self._needs_logw,
+                            logw_eps=WEIGHTING_EPSILON, phase="logw",
+                            logw_raw=lw_raw)
+
+                if self.mesh is None:
+                    fut_logw = _host_executor().submit(logw_work)
+                else:
+                    logw_work()
 
         static_meta = ()
         if self.cfg.ibsi:
@@ -538,11 +592,89 @@ class PairRunner:
             static_meta = (("max_int", ceil),)
         np_dt = np.float32 if dtype == jnp.float32 else np.float64
         want_lw = contours is not None and self._needs_logw
-        have_logw_flat = (hc is not None
-                          and getattr(hc, "logw_flat", None) is not None)
+        # transfer compression (fused path): the tunneled H2D link runs at
+        # ~0.1 GB/s cold, so intensity crops ship in the narrowest EXACT
+        # dtype (uint16/uint32 -> compute-dtype cast on device, identical
+        # IEEE rounding to the host cast) and masks ship bit-packed
+        int_tr = None
+        if self.mesh is None:
+            if resident is not None:
+                idt = resident[0].dtype
+                if idt.kind == "u":
+                    int_tr = np.uint16 if idt.itemsize <= 2 else np.uint32
+            elif getattr(source, "int_transfer_u32_ok", False):
+                int_tr = np.uint32
 
         vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
              % (len(batches), len(triv_rows), len(over_rows)))
+        def build_lw(idxs=None, hb=None, wb=None, B=None, pad_b=None):
+            """Padded per-batch weighted-moment factor: log(sqrt(d2)+eps)
+            with d2 the reference's APPROXIMATE min distance to the
+            ordered contour (pixel.cpp:36-71; exact distances diverge).
+            lw_raw mode ships the raw integer d2 (u16 when the crop
+            diagonal fits, else u32) and the kernel takes the log.
+            Requires the logw worker joined (fut_logw)."""
+            have_flat = (hc is not None
+                         and getattr(hc, "logw_flat", None) is not None)
+            raw = lw_raw and (not have_flat
+                              or getattr(hc, "logw_flat_is_d2", False))
+            if raw:
+                d2max = (hb - 1) ** 2 + (wb - 1) ** 2
+                lw_dt = np.uint16 if d2max < 65536 else np.uint32
+            else:
+                lw_dt = np_dt
+            lw_h = np.zeros((B + pad_b, hb, wb), lw_dt)
+            if have_flat:
+                # flat per-pixel log distances from the batched native
+                # geometry pass, scattered into the padded crop frame
+                # with ONE fancy-index per batch
+                gx, gy, _, coff = hc.clouds
+                lwf = hc.logw_flat
+                segs = []
+                for bi, i in enumerate(idxs):
+                    j = hrow_pos[i]
+                    a, b = int(coff[j]), int(coff[j + 1])
+                    if b <= a:
+                        continue
+                    r = recs[i]
+                    segs.append((bi, a, b, r.y0, r.x0))
+                if segs:
+                    bi_f = np.concatenate(
+                        [np.full(b - a, bi, np.int64)
+                         for bi, a, b, _, _ in segs])
+                    gy_f = np.concatenate(
+                        [gy[a:b] - y0_ for _, a, b, y0_, _ in segs])
+                    gx_f = np.concatenate(
+                        [gx[a:b] - x0_ for _, a, b, _, x0_ in segs])
+                    lw_f = np.concatenate(
+                        [lwf[a:b] for _, a, b, _, _ in segs])
+                    lw_h[bi_f, gy_f, gx_f] = lw_f
+            else:
+                from .. import native
+                from ..ops.moments import WEIGHTING_EPSILON
+                for bi, i in enumerate(idxs):
+                    K = contours[i]
+                    if K is None or K.shape[0] == 0:
+                        continue
+                    r = recs[i]
+                    if resident is not None:
+                        sl = (slice(r.y0, r.y1 + 1),
+                              slice(r.x0, r.x1 + 1))
+                        cm_i = resident[1][sl] == r.label
+                    else:
+                        ii_c, ll_c = padded_crop(i, hb, wb)
+                        cm_i = ll_c[:r.height, :r.width] == r.label
+                    ys_i, xs_i = np.nonzero(cm_i)
+                    mind2, _ = native.contour_sqdist_approx(
+                        xs_i.astype(np.float64), ys_i.astype(np.float64),
+                        K[:, 0].astype(np.float64),
+                        K[:, 1].astype(np.float64))
+                    lw_h[bi, ys_i, xs_i] = mind2 if raw else \
+                        np.log(np.sqrt(mind2) + WEIGHTING_EPSILON)
+            if pad_b:
+                lw_h[B:] = lw_h[0]
+            return lw_h
+
         pending = []        # mesh path: (idxs, lkey, out)
         fused = []          # single-dispatch path: (idxs, device bucket args)
         for shape, idxs in batches:
@@ -564,7 +696,8 @@ class PairRunner:
                 # crop, so even one padded row is expensive
                 bq = max(8, 1 << (B - 1).bit_length())
                 pad_b = bq - B
-            ci_h = np.zeros((B + pad_b, hb, wb), np_dt)
+            tr_dt = int_tr if int_tr is not None else np_dt
+            ci_h = np.zeros((B + pad_b, hb, wb), tr_dt)
             cm_h = np.zeros((B + pad_b, hb, wb), bool)
             if resident is not None:
                 intens_r, label_r = resident
@@ -591,60 +724,8 @@ class PairRunner:
                                  for r in pad_recs], np_dt)
 
             lw_h = None
-            if want_lw:
-                # host-precomputed weighted-moment factor: log(sqrt(d2)+eps)
-                # with d2 the reference's APPROXIMATE min distance to the
-                # ordered contour (pixel.cpp:36-71; exact distances diverge)
-                lw_h = np.zeros((B + pad_b, hb, wb), np_dt)
-                if have_logw_flat:
-                    # flat per-pixel log distances from the batched native
-                    # geometry pass, scattered into the padded crop frame
-                    # with ONE fancy-index per batch
-                    gx, gy, _, coff = hc.clouds
-                    lwf = hc.logw_flat
-                    segs = []
-                    for bi, i in enumerate(idxs):
-                        j = hrow_pos[i]
-                        a, b = int(coff[j]), int(coff[j + 1])
-                        if b <= a:
-                            continue
-                        r = recs[i]
-                        segs.append((bi, a, b, r.y0, r.x0))
-                    if segs:
-                        bi_f = np.concatenate(
-                            [np.full(b - a, bi, np.int64)
-                             for bi, a, b, _, _ in segs])
-                        gy_f = np.concatenate(
-                            [gy[a:b] - y0_ for _, a, b, y0_, _ in segs])
-                        gx_f = np.concatenate(
-                            [gx[a:b] - x0_ for _, a, b, _, x0_ in segs])
-                        lw_f = np.concatenate(
-                            [lwf[a:b] for _, a, b, _, _ in segs])
-                        lw_h[bi_f, gy_f, gx_f] = lw_f
-                else:
-                    from .. import native
-                    from ..ops.moments import WEIGHTING_EPSILON
-                    for bi, i in enumerate(idxs):
-                        K = contours[i]
-                        if K is None or K.shape[0] == 0:
-                            continue
-                        r = recs[i]
-                        if resident is not None:
-                            sl = (slice(r.y0, r.y1 + 1),
-                                  slice(r.x0, r.x1 + 1))
-                            cm_i = resident[1][sl] == r.label
-                        else:
-                            ii_c, ll_c = padded_crop(i, hb, wb)
-                            cm_i = ll_c[:r.height, :r.width] == r.label
-                        ys_i, xs_i = np.nonzero(cm_i)
-                        mind2, _ = native.contour_sqdist_approx(
-                            xs_i.astype(np.float64), ys_i.astype(np.float64),
-                            K[:, 0].astype(np.float64),
-                            K[:, 1].astype(np.float64))
-                        lw_h[bi, ys_i, xs_i] = np.log(np.sqrt(mind2)
-                                                      + WEIGHTING_EPSILON)
-                if pad_b:
-                    lw_h[B:] = lw_h[0]
+            if want_lw and self.mesh is not None:
+                lw_h = build_lw(idxs, hb, wb, B, pad_b)
 
             if self.mesh is not None:
                 ci = jnp.asarray(ci_h)
@@ -676,11 +757,16 @@ class PairRunner:
                                              layout_key=lkey)
                 pending.append((idxs, lkey, out))
             else:
-                fused.append((idxs, (jnp.asarray(ci_h), jnp.asarray(cm_h),
+                # bit-pack the mask for transfer (8x fewer bytes; the kernel
+                # unpacks on device).  The lw plane is attached AFTER the
+                # loop (once the logw worker joins) so crop assembly and
+                # the native distance pass run concurrently; ci/cm start
+                # their async H2D transfers here.
+                cm_p = np.packbits(cm_h, axis=2)
+                fused.append((idxs, [jnp.asarray(ci_h), jnp.asarray(cm_p),
                                      jnp.asarray(meta_i),
-                                     jnp.asarray(meta_f),
-                                     jnp.asarray(lw_h)
-                                     if lw_h is not None else None)))
+                                     jnp.asarray(meta_f), None],
+                              (shape, B, pad_b)))
             # drop only THIS batch's crops: crops read once during the
             # contour pass stay cached until their own batch consumes them
             # (a blanket clear re-read every later batch's regions from disk)
@@ -691,16 +777,25 @@ class PairRunner:
 
         fused_out = fused_key = None
         if fused:
+            with stopwatch("Pipeline/Phase2_device_batches/#33cc77"):
+                if want_lw:
+                    # join the logw worker and attach the lw planes
+                    if fut_logw is not None:
+                        fut_logw.result()
+                    for idxs_b, args_b, (shape_b, B_b, pad_b_b) in fused:
+                        lwb = build_lw(idxs_b, shape_b[0], shape_b[1],
+                                       B_b, pad_b_b)
+                        args_b[4] = jnp.asarray(lwb)
             # the per-execution RPC overhead of the tunneled runtime makes
             # one fused dispatch for ALL buckets + one fetch decisively
             # cheaper than per-bucket kernels (see _extract_pair_packed)
             with stopwatch("Pipeline/Phase2_device_batches/#33cc77"):
-                shapes_sig = tuple(a[0].shape for _, a in fused)
+                shapes_sig = tuple(a[0].shape for _, a, _ in fused)
                 fused_key = _bucket_key(self.families, self.cfg, static_meta,
                                         shapes_sig, want_lw)
                 fused_out = _extract_pair_packed(
-                    tuple(a for _, a in fused), self.families, self.cfg,
-                    static_meta, layout_key=fused_key)
+                    tuple(tuple(a) for _, a, _ in fused), self.families,
+                    self.cfg, static_meta, layout_key=fused_key)
                 try:
                     # start the D2H copy as soon as execution finishes, so
                     # the fetch overlaps the host geometry pass (and, in the
@@ -723,18 +818,27 @@ class PairRunner:
                     members = fam.host_fn(hc, self.cfg)
                 self._scatter(values, host_rows, {name: members})
 
+        fut_rest = None
         if hc is not None:
             # heavy half of the native geometry pass (chords, hull,
-            # calipers, contour stats, fractal, radius, radial): overlaps
-            # the asynchronous device execution
-            if contours is not None:
-                with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
-                    from . import hostfeats
-                    hostfeats.compute_geom(
-                        hc, self.cfg,
-                        registry.activated_families(self.fset),
-                        phase="rest", exclude=hostfeats.DIST_FAMILIES)
-            run_host(pre_host)
+            # calipers, contour stats, fractal, radius, radial): native and
+            # GIL-free, so on the fused path it runs on the host worker
+            # thread concurrently with the device execution AND the main
+            # thread's next-slide host stages; finish() joins it
+            def rest_work():
+                if contours is not None:
+                    with stopwatch("Pipeline/Host/geom_batch/#99bb55"):
+                        from . import hostfeats
+                        hostfeats.compute_geom(
+                            hc, self.cfg,
+                            registry.activated_families(self.fset),
+                            phase="rest", exclude=hostfeats.DIST_FAMILIES)
+
+            if self.mesh is None:
+                fut_rest = _host_executor().submit(rest_work)
+            else:
+                rest_work()
+                run_host(pre_host)
 
         def finish():
             """Collect device results and run the device-dependent tail.
@@ -745,7 +849,7 @@ class PairRunner:
                     packed = np.asarray(jax.device_get(fused_out))
                     src, dst = self._colmap(fused_key)
                     row0 = 0
-                    for idxs, args in fused:
+                    for idxs, args, _ in fused:
                         bq = int(args[0].shape[0])
                         # one fancy-index instead of ~750 per-member scatters
                         values[np.ix_(np.asarray(idxs), dst)] = \
@@ -757,6 +861,14 @@ class PairRunner:
                         self._scatter(values, idxs,
                                       _unpack_bucket(packed[:len(idxs)],
                                                      _BUCKET_LAYOUTS[lkey]))
+
+            # join the host-geometry worker (fused path) and run the
+            # pre-collect host families it feeds
+            if fut_logw is not None:
+                fut_logw.result()
+            if fut_rest is not None:
+                fut_rest.result()
+                run_host(pre_host)
 
             # oversized ROIs: streamed sufficient-statistic pass per ROI
             # (reference phase 3, phase3.cpp:24-127).  Host-only families

@@ -58,6 +58,10 @@ class TiffPairSource:
                  (self._sr.height, self._sr.width)))
         self.shape = (self._ir.height, self._ir.width)
         self.int_is_float = self._ir.is_float
+        # nonneg integral samples can ship to the device as uint32 (half
+        # the bytes of f64 crops on the slow tunneled H2D link)
+        self.int_transfer_u32_ok = (not self._ir.is_float
+                                    and not self._ir.is_signed)
         self._lock = threading.Lock()
 
     def read_pair(self, y0: int, x0: int, h: int, w: int):
@@ -87,6 +91,8 @@ class WholeSlideTiffSource:
         self._ir = native.TiffReader(int_path)
         self.shape = (self._ir.height, self._ir.width)
         self.int_is_float = self._ir.is_float
+        self.int_transfer_u32_ok = (not self._ir.is_float
+                                    and not self._ir.is_signed)
 
     def read_pair(self, y0: int, x0: int, h: int, w: int):
         ii = self._ir.read_region(y0, x0, h, w, "f64")
@@ -121,6 +127,8 @@ class AnisoResampledSource:
         H, W = inner.shape
         self.shape = (int(H * self.ay), int(W * self.ax))
         self.int_is_float = getattr(inner, "int_is_float", False)
+        self.int_transfer_u32_ok = getattr(inner, "int_transfer_u32_ok",
+                                           False)
 
     def read_pair(self, y0: int, x0: int, h: int, w: int):
         H, W = self._inner.shape
@@ -158,6 +166,9 @@ class MergedLabelSource:
     def __init__(self, inner):
         self._inner = inner
         self.shape = inner.shape
+        self.int_is_float = getattr(inner, "int_is_float", False)
+        self.int_transfer_u32_ok = getattr(inner, "int_transfer_u32_ok",
+                                           False)
 
     def read_pair(self, y0: int, x0: int, h: int, w: int):
         ii, ll = self._inner.read_pair(y0, x0, h, w)

@@ -30,6 +30,10 @@ PREFIX_TOL = {
     # magnitudes; f32 keeps ~7 digits
     "IMOM": 5e-2, "SPAT_": 5e-2, "CENTRAL_": 5e-2, "NORM_": 5e-2,
     "HU_": 5e-1, "WEIGHTED_": 5e-2, "SMOM": 5e-2,
+    # weighted (contour-log-distance) moments share the cancellation class
+    # of NORM_/CENTRAL_; the log weight is computed in f32 on device from
+    # the shipped integer d2, a ~1-ulp difference vs the f64 host log
+    "WT_": 5e-2,
     # Hu invariants are alternating sums of near-cancelling terms
     "GLCM_CLUPROM": 2e-2, "GLCM_CLUSHADE": 2e-1,
     # fast_log2 entropy chains
