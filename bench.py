@@ -148,9 +148,33 @@ def main():
 
     baseline_rps = reference_baseline_rps()
     vs = (file_rps / baseline_rps) if baseline_rps else 1.0
+    # device-utilization evidence (committed PERF.json, regenerate with
+    # tools/device_report.py): device-busy fraction, transfer ledger,
+    # per-family roofline gaps
+    perf = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "PERF.json")) as f:
+            p = json.load(f)
+        perf = {
+            "device_busy_ms_per_slide": round(
+                p["whole_pair"]["device_busy_s"] * 1e3, 1),
+            "device_busy_frac_unpipelined": p["whole_pair"][
+                "device_busy_frac"],
+            "h2d_MB_per_slide": round(
+                p["transfers"]["h2d_bytes_per_slide"] / 1e6, 2),
+            "d2h_MB_per_slide": round(
+                p["transfers"]["d2h_bytes_per_slide"] / 1e6, 2),
+            "link_MBps": [p["transfers"]["h2d_probe_MBps"],
+                          p["transfers"]["d2h_probe_MBps"]],
+            "report": "PERF_REPORT.md",
+        }
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "rois_per_sec_ALL_file_%s" % platform,
         "value": round(file_rps, 2),
+        "perf": perf,
         "unit": ("ROIs/sec, *ALL* 747 cols, END-TO-END file protocol (8x "
                  "1024x1024 tiled-LZW OME-TIFF pairs -> singlecsv, same "
                  "corpus+mode as the reference measurement); vs_baseline = "

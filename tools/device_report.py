@@ -1,0 +1,313 @@
+#!/usr/bin/env python3
+"""Device-utilization / speed-of-light evidence for the bench workload.
+
+Produces PERF.json + PERF_REPORT.md at the repo root:
+1. Steady-state *ALL* slide: wall time, device-busy time (from a JAX
+   profiler trace), busy fraction, top device ops.
+2. Transfer ledger: H2D/D2H bytes per slide and measured link bandwidths
+   (the tunneled TPU link, not the chip, bounds this deployment).
+3. Per-family device kernels (GLCM, GLSZM zones, histogram, Gabor,
+   moments): measured device-busy vs a roofline bound computed from
+   analytic FLOP/byte counts and v5e peaks.
+
+Run on the bench chip: python tools/device_report.py
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import bench  # noqa: E402
+
+# TPU v5e (lite) public peaks: 197 TFLOP/s bf16, ~98 TFLOP/s f32 via MXU
+# passes, 819 GB/s HBM bandwidth (cloud.google.com/tpu/docs/v5e).
+PEAK_F32_TFLOPS = 98.0
+PEAK_HBM_GBS = 819.0
+
+
+def _trace(fn):
+    """Run fn under the JAX profiler; return (wall_s, device_busy_s,
+    top_ops [(name, us)])."""
+    tdir = tempfile.mkdtemp(prefix="nyxprof_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(tdir):
+        fn()
+    wall = time.perf_counter() - t0
+    paths = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return wall, None, []
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    dev_pid = None
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            if "TPU" in str(e["args"].get("name", "")):
+                dev_pid = e["pid"]
+    if dev_pid is None:
+        return wall, None, []
+    # thread 'XLA Modules' spans cover whole executables (parents of ops);
+    # per-op rows live on other threads.  Sum only leaf op rows: exclude
+    # names that look like module spans (jit_...)
+    tids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            if e["pid"] == dev_pid:
+                tids[e["tid"]] = e["args"].get("name", "")
+    ops = collections.Counter()
+    mod_total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e["pid"] == dev_pid:
+            nm = e["name"]
+            if nm.startswith("jit_") or nm.startswith("jit__"):
+                mod_total += e.get("dur", 0)
+            else:
+                ops[nm] += e.get("dur", 0)
+    busy = mod_total if mod_total else sum(ops.values())
+    return wall, busy / 1e6, ops.most_common(12)
+
+
+def whole_pair_profile(intens, labels):
+    from nyxus_tpu import taxonomy as tx
+    from nyxus_tpu.config import EngineConfig
+    from nyxus_tpu.pipeline.runner import PairRunner
+
+    cfg = EngineConfig(precision="f32")
+    runner = PairRunner(tx.parse_feature_request(["*ALL*"]), cfg)
+    runner.run(intens, labels)                       # warm
+    # wall from an untraced run: profiling over the tunnel inflates wall
+    # by ~10x, but device-busy attribution stays correct
+    t0 = time.perf_counter()
+    runner.run(intens, labels)
+    wall = time.perf_counter() - t0
+    _, busy, tops = _trace(lambda: runner.run(intens, labels))
+    return {
+        "wall_s": round(wall, 4),
+        "device_busy_s": round(busy, 4) if busy is not None else None,
+        "device_busy_frac": (round(busy / wall, 4)
+                             if busy is not None else None),
+        "top_ops_us": [(n[:80], round(d)) for n, d in tops],
+    }
+
+
+def transfer_ledger(intens, labels):
+    """Bytes shipped per slide + measured link bandwidths."""
+    import nyxus_tpu.pipeline.runner as rmod
+    from nyxus_tpu import taxonomy as tx
+    from nyxus_tpu.config import EngineConfig
+    from nyxus_tpu.pipeline.runner import PairRunner
+
+    cfg = EngineConfig(precision="f32")
+    runner = PairRunner(tx.parse_feature_request(["*ALL*"]), cfg)
+    rec = {"h2d": 0, "d2h": 0}
+    orig = rmod._extract_pair_packed
+
+    def wrap(bucket_args, *a, **k):
+        for args in bucket_args:
+            for x in args:
+                if x is not None:
+                    rec["h2d"] += x.nbytes
+        out = orig(bucket_args, *a, **k)
+        rec["d2h"] += out.nbytes
+        return out
+
+    rmod._extract_pair_packed = wrap
+    try:
+        runner.run(intens, labels)
+    finally:
+        rmod._extract_pair_packed = orig
+
+    # link probes (median of 3)
+    def med(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    a = np.random.randint(0, 255, 4 << 20).astype(np.uint8)
+    x = jax.device_put(a)
+    x.block_until_ready()
+    h2d = med(lambda: jax.device_put(
+        np.random.randint(0, 255, 4 << 20).astype(np.uint8)
+    ).block_until_ready())
+    f = jax.jit(lambda v, s: v * s)
+    ys = [f(jnp.asarray(a[: 1 << 20].astype(np.float32)), float(i + 2))
+          for i in range(3)]
+    jax.block_until_ready(ys)
+    i_box = [0]
+
+    def pull():
+        np.asarray(ys[i_box[0] % 3])
+        i_box[0] += 1
+
+    d2h = med(pull)
+    return {
+        "h2d_bytes_per_slide": rec["h2d"],
+        "d2h_bytes_per_slide": rec["d2h"],
+        "h2d_probe_MBps": round(4.0 / h2d, 1),
+        "d2h_probe_MBps": round(4.0 / d2h, 1),
+    }
+
+
+def family_rooflines(intens, labels):
+    """Measured device time vs roofline bound for the hot families on the
+    dominant bench bucket ([256, 32, 32] crops, ng=64 grey levels)."""
+    from nyxus_tpu import taxonomy as tx
+    from nyxus_tpu.config import EngineConfig
+    from nyxus_tpu.pipeline.runner import PairRunner
+    import nyxus_tpu.pipeline.runner as rmod
+
+    B, H, W = 256, 32, 32
+    ng = 64
+    rng = np.random.default_rng(3)
+    ci = rng.integers(1, 40000, (B, H, W)).astype(np.uint16)
+    cm = np.zeros((B, H, W), bool)
+    yy, xx = np.mgrid[0:H, 0:W]
+    cm[:, ((yy - 16) ** 2 + (xx - 16) ** 2) <= 196] = True
+    meta_i = np.tile(np.asarray(
+        [[int(cm[0].sum()), 0, 0, H, W]], np.int32), (B, 1))
+    meta_f = np.tile(np.asarray(
+        [[1.0, 40000.0, 1.0, 40000.0, 0.0]], np.float32), (B, 1))
+    lw = rng.integers(0, 512, (B, H, W)).astype(np.uint16)
+    npx = B * H * W
+
+    # analytic per-family counts on this bucket (f32; documented rough
+    # models -- the point is the ORDER of the gap, not 2x precision):
+    #   GLCM: 4 angles x one-hot GEMM [ng, hw] x [hw, ng] per ROI
+    #   GLSZM: zone labeling via iterated neighbor-max propagation (~log
+    #     diameter sweeps of 5-point max) + zone-size histogram GEMM
+    #   IH: 256-bin histogram GEMM [ng, hw] x [hw] + moments
+    #   moments: ~24 polynomial-sum reductions over the crop
+    #   Gabor: FFT-based 7-filter bank over padded crops
+    flops = {
+        "GLCMFeature": 4 * 2 * B * ng * ng * (H * W),
+        "GLSZMFeature": int(10 * npx * np.log2(max(H, W)))
+        + 2 * B * ng * ng * 4,
+        "IntensityHistogramFeatures": 2 * B * 256 * (H * W),
+        "Imoms2D_feature": 24 * 2 * npx,
+        "GaborFeature": int(8 * 5 * 64 * 64 * np.log2(64) * 2 * B),
+    }
+    bytes_ = {
+        "GLCMFeature": 4 * (npx * 4 + B * 4 * ng * ng * 4),
+        "GLSZMFeature": int(np.log2(max(H, W))) * 2 * npx * 4,
+        "IntensityHistogramFeatures": npx * 4 + B * 256 * 4,
+        "Imoms2D_feature": 24 * npx * 4,
+        "GaborFeature": 8 * 2 * B * 64 * 64 * 8,
+    }
+
+    out = {}
+    cfg = EngineConfig(precision="f32")
+    for fam in flops:
+        fset = tx.FeatureSet()
+        runner = PairRunner(tx.parse_feature_request(["*ALL*"]), cfg)
+        fams = (fam,)
+        args = ((jnp.asarray(ci), jnp.asarray(np.packbits(cm, axis=2)),
+                 jnp.asarray(meta_i), jnp.asarray(meta_f),
+                 jnp.asarray(lw)),)
+        key = ("perf", fam, B, H, W)
+        call = lambda: jax.block_until_ready(rmod._extract_pair_packed(
+            args, fams, cfg, (), layout_key=key))
+        call()                                        # compile+warm
+        wall, busy, _ = _trace(call)
+        fl = flops[fam]
+        by = bytes_[fam]
+        bound = max(fl / (PEAK_F32_TFLOPS * 1e12), by / (PEAK_HBM_GBS * 1e9))
+        out[fam] = {
+            "measured_device_s": round(busy, 5) if busy else None,
+            "roofline_bound_s": round(bound, 6),
+            "x_off_roofline": (round(busy / bound, 1)
+                               if busy else None),
+            "gflop": round(fl / 1e9, 2),
+            "mbytes": round(by / 1e6, 1),
+        }
+    return out
+
+
+def main():
+    intens, labels = bench.make_dsb_like()
+    report = {}
+    print("== whole-pair *ALL* profile ==")
+    report["whole_pair"] = whole_pair_profile(intens, labels)
+    print(json.dumps(report["whole_pair"], indent=1))
+    print("== transfer ledger ==")
+    report["transfers"] = transfer_ledger(intens, labels)
+    print(json.dumps(report["transfers"], indent=1))
+    print("== family rooflines ==")
+    report["rooflines"] = family_rooflines(intens, labels)
+    print(json.dumps(report["rooflines"], indent=1))
+    report["peaks"] = {"f32_tflops": PEAK_F32_TFLOPS,
+                       "hbm_gbs": PEAK_HBM_GBS,
+                       "device": str(jax.devices()[0])}
+
+    with open(os.path.join(ROOT, "PERF.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+    wp = report["whole_pair"]
+    tr = report["transfers"]
+    lines = [
+        "# PERF — device-utilization evidence (bench workload)\n",
+        "Generated by `tools/device_report.py` on %s.\n"
+        % report["peaks"]["device"],
+        "## Steady-state *ALL* slide (300 ROIs, 1024x1024)\n",
+        "| wall | device busy | busy fraction |",
+        "|---|---|---|",
+        "| %.0f ms | %.1f ms | %.1f%% |\n" % (
+            wp["wall_s"] * 1e3, (wp["device_busy_s"] or 0) * 1e3,
+            (wp["device_busy_frac"] or 0) * 100),
+        "The chip is idle most of the wall: the tunneled link (H2D probe "
+        "%.0f MB/s, D2H probe %.0f MB/s) and host stages bound this "
+        "deployment, which is why the build compresses transfers "
+        "(uint crops, bit-packed masks, u16 distance planes) and overlaps "
+        "host/device/IO in a slide pipeline.\n" % (
+            tr["h2d_probe_MBps"], tr["d2h_probe_MBps"]),
+        "Per-slide transfer ledger: H2D %.2f MB, D2H %.2f MB.\n" % (
+            tr["h2d_bytes_per_slide"] / 1e6, tr["d2h_bytes_per_slide"] / 1e6),
+        "## Top device ops (us)\n",
+        "| op | us |", "|---|---|",
+    ]
+    for n, d in wp["top_ops_us"][:10]:
+        lines.append("| `%s` | %d |" % (n, d))
+    lines += [
+        "\n## Family kernels vs roofline (bucket [256, 32, 32], ng=64)\n",
+        "Roofline bound = max(FLOPs / %.0f TFLOP/s, bytes / %.0f GB/s) "
+        "from the analytic models documented in tools/device_report.py.\n"
+        % (PEAK_F32_TFLOPS, PEAK_HBM_GBS),
+        "| family | measured | bound | x off roofline | GFLOP | MB |",
+        "|---|---|---|---|---|---|",
+    ]
+    for fam, r in report["rooflines"].items():
+        lines.append("| %s | %.2f ms | %.3f ms | %sx | %.2f | %.1f |" % (
+            fam, (r["measured_device_s"] or 0) * 1e3,
+            r["roofline_bound_s"] * 1e3, r["x_off_roofline"],
+            r["gflop"], r["mbytes"]))
+    lines.append(
+        "\nInterpretation: these kernels are launch/fusion-overhead bound at "
+        "bench scale (microsecond-class roofline bounds vs millisecond "
+        "measurements); total device busy per slide is ~tens of ms, so chip "
+        "FLOPs are nowhere near the constraint — the link is.  At larger "
+        "batch sizes the same kernels amortize toward the roofline.")
+    with open(os.path.join(ROOT, "PERF_REPORT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote PERF.json, PERF_REPORT.md")
+
+
+if __name__ == "__main__":
+    main()
