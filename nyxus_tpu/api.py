@@ -390,21 +390,50 @@ class Nyxus:
         self._arrow_path = w.path
         return self._arrow_path
 
+    def _open_stream_source(self, ipath, lpath, wholeslide):
+        """A region-read PairSource for ``ipath``'s format, or None when
+        the format only supports whole-image decode.  Streamable formats:
+        tiled/strip TIFF (native region server), OME-Zarr v2/v3 (chunk
+        reads), tiled multi-frame DICOM (per-frame decode).  Mirrors the
+        reference's per-format tile loaders (grayscale_tiff.h:25,
+        omezarr.h:10-48, nyxus_dicom_loader.h:4-19)."""
+        import os
+        from .pipeline import sources
+        ext = os.path.splitext(ipath)[1].lower()
+        try:
+            if ext in (".tif", ".tiff"):
+                from . import native
+                if not native.available():
+                    return None
+                return (sources.WholeSlideTiffSource(ipath) if wholeslide
+                        else sources.TiffPairSource(ipath, lpath))
+            if ext == ".zarr" or os.path.isdir(ipath):
+                return sources.ZarrPairSource(
+                    ipath, None if wholeslide else lpath)
+            if ext in (".dcm", ".dicom"):
+                return sources.DicomPairSource(
+                    ipath, None if wholeslide else lpath)
+        except Exception:
+            return None     # unreadable/untiled -> whole-image fallback
+        return None
+
+    def _stream_gate(self, shape) -> bool:
+        """True when a slide of ``shape`` must take the streamed path
+        (16 B/px in-memory footprint: f64 intens + i64 labels; reference
+        RAM gate, workflow_2d_segmented.cpp:124-139)."""
+        H, W = shape
+        return H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2
+
     def _load_pair_arrays(self, ipath, lpath, wholeslide):
         """Pre-decode one pair into in-memory arrays (prefetch worker);
         None when the pair exceeds the RAM gate and must stream."""
-        import os
         from .io import readers
-        if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
-            try:
-                from . import native
-                if native.available():
-                    with native.TiffReader(ipath) as r:
-                        H, W = r.height, r.width
-                    if H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2:
-                        return None
-            except Exception:
-                pass
+        src = self._open_stream_source(ipath, lpath, wholeslide)
+        if src is not None:
+            over = self._stream_gate(src.shape)
+            src.close()
+            if over:
+                return None
         intens = readers.read_gray(ipath)
         labmat = (np.ones(intens.shape, np.uint32) if wholeslide
                   else readers.read_gray(lpath).astype(np.uint32))
@@ -413,12 +442,11 @@ class Nyxus:
 
     def _run_pair_file(self, ipath, lpath, wholeslide, fname,
                        preloaded=None, async_collect=False):
-        """Featurize one on-disk pair; big TIFF pairs stream tile-by-tile
-        through the native region server instead of materializing
-        (reference RAM gate: nontrivial split, phase1.cpp:104-118).
-        With ``async_collect`` the second element returned is a finish()
-        callable (see PairRunner._run_core)."""
-        import os
+        """Featurize one on-disk pair; big pairs in a region-readable
+        format (TIFF/zarr/tiled DICOM) stream block-by-block instead of
+        materializing (reference RAM gate: nontrivial split,
+        phase1.cpp:104-118).  With ``async_collect`` the second element
+        returned is a finish() callable (see PairRunner._run_core)."""
         from .io import readers
         if preloaded is not None:
             I, labmat, hu_off = preloaded
@@ -426,27 +454,14 @@ class Nyxus:
                                     wholeslide=wholeslide, fname=fname,
                                     async_collect=async_collect,
                                     hu_offset=hu_off)
-        if os.path.splitext(ipath)[1].lower() in (".tif", ".tiff"):
-            src = None
-            try:
-                from . import native
-                from .pipeline import sources
-                if native.available():
-                    if wholeslide:
-                        src = sources.WholeSlideTiffSource(ipath)
-                    else:
-                        src = sources.TiffPairSource(ipath, lpath)
-            except Exception:
-                src = None  # unreadable by libtiff -> PIL/cv2 fallback below
-            if src is not None:
-                H, W = src.shape
-                # 16 B/px in-memory footprint (f64 intens + i64 labels)
-                if H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2:
-                    with src:
-                        return self._runner.run_streamed(
-                            src, blacklist=self._blacklist, fname=fname,
-                            wholeslide=wholeslide)
-                src.close()
+        src = self._open_stream_source(ipath, lpath, wholeslide)
+        if src is not None:
+            if self._stream_gate(src.shape):
+                with src:
+                    return self._runner.run_streamed(
+                        src, blacklist=self._blacklist, fname=fname,
+                        wholeslide=wholeslide)
+            src.close()
         intens = readers.read_gray(ipath)
         if wholeslide:
             labmat = np.ones(intens.shape, np.uint32)

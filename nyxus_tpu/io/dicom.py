@@ -263,6 +263,181 @@ def read_dicom_gray(path: str) -> np.ndarray:
     return read_dicom(path)[0]
 
 
+class DicomTiledReader:
+    """Tiled multi-frame DICOM (WSI ``TILED_FULL`` layout): each frame is
+    one tile of the TotalPixelMatrix, laid out row-major; region reads
+    decode only the frames a request touches, so over-RAM DICOM slides can
+    stream (reference: nyxus_dicom_loader.h:4-19, which reads per-frame
+    through DCMTK the same way).
+
+    Supports native little-endian frames (read straight out of an mmap)
+    and encapsulated transfer syntaxes with one fragment per frame (RLE,
+    JPEG family).  MONOCHROME1 needs a global max and is rejected here
+    (those files fall back to whole-image decode); the Rescale transform
+    is linear per-pixel and applies per frame."""
+
+    def __init__(self, path: str):
+        import mmap
+
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        if self._mm[128:132] != b"DICM":
+            raise ValueError("not a DICOM part-10 file: %s" % path)
+        s = _Stream(self._mm, 132)
+        meta = {"ts": EXPLICIT_LE, "bits": 16, "signed": 0, "rows": 0,
+                "cols": 0, "slope": None, "intercept": None,
+                "photometric": "MONOCHROME2", "samples": 1}
+        explicit = True
+        n_frames = 0
+        tot_rows = tot_cols = 0
+        self._frames = None        # encapsulated: [(off, len)]
+        self._pix_off = None       # native: offset of frame 0
+        while not s.eof():
+            group, elem, vr, length = _read_element(s, explicit)
+            if length == 0xFFFFFFFF:
+                if (group, elem) == (0x7FE0, 0x0010):
+                    self._frames = self._fragment_table(s)
+                    break
+                _skip_undefined(s)
+                continue
+            if (group, elem) == (0x7FE0, 0x0010):
+                self._pix_off = s.p
+                break
+            val = s.raw(length)
+            if (group, elem) == (0x0002, 0x0010):
+                meta["ts"] = val.decode("ascii").strip("\x00 ")
+                if meta["ts"] == IMPLICIT_LE:
+                    explicit = False
+            elif (group, elem) == (0x0028, 0x0008):      # NumberOfFrames IS
+                n_frames = int(val.decode("ascii").strip("\x00 ") or 0)
+            elif (group, elem) == (0x0028, 0x0010):
+                meta["rows"] = struct.unpack("<H", val[:2])[0]
+            elif (group, elem) == (0x0028, 0x0011):
+                meta["cols"] = struct.unpack("<H", val[:2])[0]
+            elif (group, elem) == (0x0028, 0x0100):
+                meta["bits"] = struct.unpack("<H", val[:2])[0]
+            elif (group, elem) == (0x0028, 0x0103):
+                meta["signed"] = struct.unpack("<H", val[:2])[0]
+            elif (group, elem) == (0x0028, 0x0002):
+                meta["samples"] = struct.unpack("<H", val[:2])[0]
+            elif (group, elem) == (0x0028, 0x0004):
+                meta["photometric"] = val.decode("ascii").strip("\x00 ")
+            elif (group, elem) == (0x0028, 0x1052):
+                meta["intercept"] = float(val.decode("ascii").strip("\x00 "))
+            elif (group, elem) == (0x0028, 0x1053):
+                meta["slope"] = float(val.decode("ascii").strip("\x00 "))
+            elif (group, elem) == (0x0048, 0x0006):  # TotalPixelMatrixCols
+                tot_cols = struct.unpack("<I", val[:4])[0]
+            elif (group, elem) == (0x0048, 0x0007):  # TotalPixelMatrixRows
+                tot_rows = struct.unpack("<I", val[:4])[0]
+        if n_frames <= 1 or not tot_rows or not tot_cols:
+            raise ValueError("not a tiled multi-frame DICOM")
+        if meta["photometric"] == "MONOCHROME1":
+            raise ValueError("MONOCHROME1 needs a global max; use the "
+                             "whole-image decode path")
+        if meta["samples"] != 1:
+            raise ValueError("only grayscale DICOM is supported")
+        if self._frames is not None and len(self._frames) != n_frames:
+            raise ValueError("fragment count %d != frame count %d "
+                             "(multi-fragment frames unsupported)"
+                             % (len(self._frames), n_frames))
+        if self._frames is None and self._pix_off is None:
+            raise ValueError("no PixelData in tiled DICOM")
+        self.meta = meta
+        self.n_frames = n_frames
+        self.height, self.width = tot_rows, tot_cols
+        self.tile_h, self.tile_w = meta["rows"], meta["cols"]
+        self.tiles_x = -(-tot_cols // self.tile_w)
+        self.tiles_y = -(-tot_rows // self.tile_h)
+        if self.tiles_x * self.tiles_y != n_frames:
+            raise ValueError("frame count %d does not tile %dx%d "
+                             "(TILED_FULL expected)" %
+                             (n_frames, tot_rows, tot_cols))
+        self._dt = np.dtype({(8, 0): np.uint8, (8, 1): np.int8,
+                             (16, 0): np.uint16, (16, 1): np.int16,
+                             (32, 0): np.uint32, (32, 1): np.int32}[
+            (meta["bits"], meta["signed"])])
+        self._cache = {}           # tiny LRU of decoded frames
+
+    def _fragment_table(self, s: _Stream):
+        """[(offset, length)] of encapsulated frame fragments."""
+        frags = []
+        first = True
+        while True:
+            group, elem = s.u16(), s.u16()
+            length = s.u32()
+            if (group, elem) == (0xFFFE, 0xE0DD):
+                break
+            if (group, elem) != (0xFFFE, 0xE000):
+                raise ValueError("malformed encapsulated PixelData item")
+            if first:
+                first = False      # basic offset table
+            else:
+                frags.append((s.p, length))
+            s.p += length
+        return frags
+
+    def _frame(self, k: int) -> np.ndarray:
+        if k in self._cache:
+            return self._cache[k]
+        npx = self.tile_h * self.tile_w
+        if self._frames is None:
+            nb = self._dt.itemsize
+            off = self._pix_off + k * npx * nb
+            # copy: a live view would pin the mmap open past close()
+            arr = np.frombuffer(self._mm, self._dt, npx, off).reshape(
+                self.tile_h, self.tile_w).copy()
+        else:
+            off, length = self._frames[k]
+            arr = _decode_encapsulated(
+                self.meta["ts"], [self._mm[off:off + length]], self.meta)
+        m = self.meta
+        if m["slope"] is not None or m["intercept"] is not None:
+            sl = 1.0 if m["slope"] is None else m["slope"]
+            ic = 0.0 if m["intercept"] is None else m["intercept"]
+            hu = arr.astype(np.float64) * sl + ic
+            arr = (hu.astype(np.int32)
+                   if float(sl).is_integer() and float(ic).is_integer()
+                   else hu)
+        if len(self._cache) > 16:
+            self._cache.clear()
+        self._cache[k] = arr
+        return arr
+
+    def read_region(self, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+        out_dt = (np.float64 if self.meta["slope"] is not None
+                  and not float(self.meta["slope"]).is_integer()
+                  else (np.int32 if self.meta["slope"] is not None
+                        or self.meta["intercept"] is not None
+                        else self._dt))
+        out = np.zeros((h, w), out_dt)
+        y1 = min(y0 + h, self.height)
+        x1 = min(x0 + w, self.width)
+        if y1 <= y0 or x1 <= x0:
+            return out
+        for ty in range(y0 // self.tile_h, -(-y1 // self.tile_h)):
+            for tx in range(x0 // self.tile_w, -(-x1 // self.tile_w)):
+                fr = self._frame(ty * self.tiles_x + tx)
+                gy0 = max(y0, ty * self.tile_h)
+                gy1 = min(y1, (ty + 1) * self.tile_h)
+                gx0 = max(x0, tx * self.tile_w)
+                gx1 = min(x1, (tx + 1) * self.tile_w)
+                out[gy0 - y0:gy1 - y0, gx0 - x0:gx1 - x0] = \
+                    fr[gy0 - ty * self.tile_h:gy1 - ty * self.tile_h,
+                       gx0 - tx * self.tile_w:gx1 - tx * self.tile_w]
+        return out
+
+    def close(self):
+        self._mm.close()
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _el(group, elem, vr: bytes, val: bytes) -> bytes:
     if len(val) % 2:
         val += b"\x00" if vr != b"UI" else b"\x00"
@@ -270,6 +445,47 @@ def _el(group, elem, vr: bytes, val: bytes) -> bytes:
     if vr in _LONG_VRS:
         return head + b"\x00\x00" + struct.pack("<I", len(val)) + val
     return head + struct.pack("<H", len(val)) + val
+
+
+def write_dicom_tiled(path: str, arr: np.ndarray, tile: int = 256):
+    """Write a tiled multi-frame (TILED_FULL) grayscale DICOM: frames are
+    ``tile x tile`` blocks of ``arr`` in row-major order, edge tiles
+    zero-padded (tests and dataset fabrication; read back with
+    DicomTiledReader)."""
+    arr = np.ascontiguousarray(arr)
+    signed = arr.dtype.kind == "i"
+    bits = arr.dtype.itemsize * 8
+    if bits not in (8, 16, 32):
+        raise ValueError("unsupported dtype %s" % arr.dtype)
+    H, W = arr.shape
+    ty, tx = -(-H // tile), -(-W // tile)
+    frames = []
+    for i in range(ty):
+        for j in range(tx):
+            blk = np.zeros((tile, tile), arr.dtype)
+            sub = arr[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile]
+            blk[:sub.shape[0], :sub.shape[1]] = sub
+            frames.append(blk.tobytes())
+    meta_body = _el(0x0002, 0x0010, b"UI", EXPLICIT_LE.encode())
+    out = [b"\x00" * 128, b"DICM",
+           _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))),
+           meta_body,
+           _el(0x0008, 0x0060, b"CS", b"SM"),
+           _el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+           _el(0x0028, 0x0004, b"CS", b"MONOCHROME2"),
+           _el(0x0028, 0x0008, b"IS", str(ty * tx).encode()),
+           _el(0x0028, 0x0010, b"US", struct.pack("<H", tile)),
+           _el(0x0028, 0x0011, b"US", struct.pack("<H", tile)),
+           _el(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+           _el(0x0028, 0x0101, b"US", struct.pack("<H", bits)),
+           _el(0x0028, 0x0102, b"US", struct.pack("<H", bits - 1)),
+           _el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)),
+           _el(0x0048, 0x0006, b"UL", struct.pack("<I", W)),
+           _el(0x0048, 0x0007, b"UL", struct.pack("<I", H))]
+    vr = b"OW" if bits > 8 else b"OB"
+    out.append(_el(0x7FE0, 0x0010, vr, b"".join(frames)))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
 
 
 def write_dicom_gray(path: str, arr: np.ndarray, slope: float = None,

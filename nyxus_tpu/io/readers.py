@@ -94,8 +94,22 @@ def read_nifti(path: str, with_meta: bool = False):
     with_meta is False).  Pure-numpy NIfTI-1/NIfTI-2 parser; byte order is
     detected from sizeof_hdr.  The raw stored values are returned (the
     reference applies scl_slope/inter only in preserve_hu mode,
-    raw_nifti.h:243-245); meta carries the header rescale for that mode."""
-    blob = _nifti_blob(path)
+    raw_nifti.h:243-245); meta carries the header rescale for that mode.
+
+    Uncompressed single-file .nii volumes come back as a read-only
+    np.memmap: z-slab consumers (the slice-streamed 3D oversized path)
+    page only the slices they touch, so over-RAM volumes never fully
+    materialize (the reference's streamed NIfTI reads, raw_nifti.h:189)."""
+    is_mmap = False
+    if not path.lower().endswith(".gz"):
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head != b"\x1f\x8b":
+            with open(path, "rb") as f:
+                blob = f.read(600)      # NIfTI-1/2 headers fit in 544 B
+            is_mmap = True
+    if not is_mmap:
+        blob = _nifti_blob(path)
     hdr_size = int(np.frombuffer(blob, "<i4", 1, 0)[0])
     bo = "<"
     if hdr_size not in (348, 540):
@@ -124,8 +138,12 @@ def read_nifti(path: str, with_meta: bool = False):
     nt = max(int(dim[4]), 1) if ndim >= 4 else 1
     dt = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder(bo)
     nvox = nx * ny * nz * nt
-    data = np.frombuffer(blob, dt, nvox, vox_offset)
-    vol = data.reshape(nt, nz, ny, nx)
+    if is_mmap:
+        vol = np.memmap(path, dtype=dt, mode="r", offset=vox_offset,
+                        shape=(nt, nz, ny, nx))
+    else:
+        data = np.frombuffer(blob, dt, nvox, vox_offset)
+        vol = data.reshape(nt, nz, ny, nx)
     if with_meta:
         meta = {"scl_slope": scl_slope if scl_slope != 0.0 else 1.0,
                 "scl_inter": scl_inter if scl_slope != 0.0 else 0.0,

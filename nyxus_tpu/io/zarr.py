@@ -273,12 +273,25 @@ class OmeZarrReader:
 
     def read_slice(self, t=0, c=0, z=0) -> np.ndarray:
         """[Y, X] plane."""
+        return self.read_plane_region(0, 0, self.height, self.width, t, c, z)
+
+    def read_plane_region(self, y0, x0, h, w, t=0, c=0, z=0) -> np.ndarray:
+        """[h, w] region of one plane; only touched chunks decode (the
+        reference's tile-loader access pattern, omezarr.h:10-48).  Regions
+        beyond the image bounds read as the array fill value."""
         nd = len(self.arr.shape)
         lead = [t, c, z][5 - nd:] if nd > 2 else []
-        starts = lead + [0, 0]
-        sizes = [1] * (nd - 2) + [self.height, self.width]
-        return self.arr.read_region(starts, sizes).reshape(self.height,
-                                                           self.width)
+        h_in = max(0, min(self.height - y0, h))
+        w_in = max(0, min(self.width - x0, w))
+        if h_in < h or w_in < w:
+            out = np.zeros((h, w), self.arr.dtype)
+            if h_in > 0 and w_in > 0:
+                out[:h_in, :w_in] = self.read_plane_region(
+                    y0, x0, h_in, w_in, t, c, z)
+            return out
+        starts = lead + [y0, x0]
+        sizes = [1] * (nd - 2) + [h, w]
+        return self.arr.read_region(starts, sizes).reshape(h, w)
 
     def read_volume(self, t=0, c=0) -> np.ndarray:
         """[Z, Y, X] volume."""

@@ -111,6 +111,100 @@ class WholeSlideTiffSource:
         self.close()
 
 
+class ZarrPairSource:
+    """Chunk-streamed source over one (intensity, mask) OME-Zarr pair.
+
+    Region reads decode only the chunks a request touches through
+    ``OmeZarrReader.read_plane_region`` (reference: the z5-backed tile
+    loader, omezarr.h:10-48) so over-RAM zarr slides take the same
+    streamed path as tiled TIFFs."""
+
+    def __init__(self, int_path: str, seg_path: str = None):
+        import threading
+
+        from ..io.zarr import OmeZarrReader
+        self._ir = OmeZarrReader(int_path)
+        self._sr = OmeZarrReader(seg_path) if seg_path else None
+        if self._sr is not None and \
+                (self._ir.height, self._ir.width) != (self._sr.height,
+                                                      self._sr.width):
+            raise ValueError("intensity/mask dimension mismatch")
+        self.shape = (self._ir.height, self._ir.width)
+        kind = np.dtype(self._ir.arr.dtype).kind
+        self.int_is_float = kind == "f"
+        self.int_transfer_u32_ok = kind == "u"
+        self._lock = threading.Lock()
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        with self._lock:
+            ii = self._ir.read_plane_region(y0, x0, h, w).astype(np.float64)
+            if self._sr is None:    # wholeslide: constant-1 labels
+                H, W = self.shape
+                ll = np.zeros((h, w), np.int64)
+                ll[:max(0, min(y0 + h, H) - y0),
+                   :max(0, min(x0 + w, W) - x0)] = 1
+            else:
+                ll = self._sr.read_plane_region(
+                    y0, x0, h, w).astype(np.int64)
+        return ii, ll
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DicomPairSource:
+    """Frame-streamed source over a tiled multi-frame (WSI) DICOM pair:
+    region reads decode only the tile-frames a request touches (reference:
+    nyxus_dicom_loader.h:4-19).  Raises for non-tiled DICOM, which takes
+    the whole-image decode path instead."""
+
+    def __init__(self, int_path: str, seg_path: str = None):
+        import threading
+
+        from ..io.dicom import DicomTiledReader
+        self._ir = DicomTiledReader(int_path)
+        self._sr = DicomTiledReader(seg_path) if seg_path else None
+        if self._sr is not None and \
+                (self._ir.height, self._ir.width) != (self._sr.height,
+                                                      self._sr.width):
+            raise ValueError("intensity/mask dimension mismatch")
+        self.shape = (self._ir.height, self._ir.width)
+        self.int_is_float = False
+        self.int_transfer_u32_ok = (self._ir.meta["signed"] == 0
+                                    and self._ir.meta["slope"] is None
+                                    and self._ir.meta["intercept"] is None)
+        self._lock = threading.Lock()
+
+    def read_pair(self, y0: int, x0: int, h: int, w: int):
+        with self._lock:
+            ii = self._ir.read_region(y0, x0, h, w).astype(np.float64)
+            if self._sr is None:
+                H, W = self.shape
+                ll = np.zeros((h, w), np.int64)
+                ll[:max(0, min(y0 + h, H) - y0),
+                   :max(0, min(x0 + w, W) - x0)] = 1
+            else:
+                ll = self._sr.read_region(y0, x0, h, w).astype(np.int64)
+        return ii, ll
+
+    def close(self):
+        self._ir.close()
+        if self._sr is not None:
+            self._sr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class AnisoResampledSource:
     """Nearest-neighbor anisotropic resampling view (x/y scale factors).
 
