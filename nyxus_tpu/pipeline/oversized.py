@@ -570,7 +570,12 @@ STREAMABLE = ("PixelIntensityFeatures", "IntensityHistogramFeatures",
               "EulerNumberFeature", "ExtremaFeature", "ErosionPixelsFeature",
               "FractalDimensionFeature", "ZernikeFeature", "GaborFeature",
               "RoiRadiusFeature", "RadialDistributionFeature",
-              "ChordsFeature") + TEX_FAMILIES
+              "ChordsFeature",
+              # streamed IMQ (pipeline/imq_streamed.py; the reference's
+              # osized coverage is focus+saturation only -- power spectrum
+              # and sharpness are empty stubs there, power_spectrum.h:28)
+              "FocusScoreFeature", "SaturationFeature", "SharpnessFeature",
+              "PowerSpectrumFeature") + TEX_FAMILIES
 
 
 def process(rec, source, cfg, families, slide_min, slide_max,
@@ -597,6 +602,25 @@ def process(rec, source, cfg, families, slide_min, slide_max,
     if "ChordsFeature" in want:
         out.update(ox.chords_streamed(rec, source, cfg,
                                       cfg.ram_limit_mb << 20, block))
+    imq_want = [f for f in want
+                if f in ("FocusScoreFeature", "SaturationFeature",
+                         "SharpnessFeature", "PowerSpectrumFeature")]
+    if imq_want:
+        from . import imq_streamed as oimq
+        if "FocusScoreFeature" in imq_want:
+            out["FocusScoreFeature"] = oimq.focus_score_streamed(
+                rec, source, block)
+        if "SaturationFeature" in imq_want:
+            out["SaturationFeature"] = oimq.saturation_streamed(
+                rec, source, block)
+        if "SharpnessFeature" in imq_want:
+            out["SharpnessFeature"] = oimq.sharpness_streamed(
+                rec, source, block)
+        if "PowerSpectrumFeature" in imq_want:
+            dt = np.float64 if cfg.precision == "f64" else np.float32
+            mem = oimq.power_spectrum_streamed(rec, source, dt, block)
+            if mem:
+                out["PowerSpectrumFeature"] = mem
     for fam in [f for f in want if f not in TEX_FAMILIES]:
         if fam == "PixelIntensityFeatures":
             out[fam] = intensity_members(acc, slide_min, slide_max, cfg)
@@ -622,8 +646,10 @@ def process(rec, source, cfg, families, slide_min, slide_max,
         elif fam == "GaborFeature":
             out[fam] = ox.gabor_streamed(rec, acc, source, cfg, block)
         elif fam in ("RoiRadiusFeature", "RadialDistributionFeature",
-                     "ChordsFeature"):
-            continue   # handled above (multi-family shared passes)
+                     "ChordsFeature", "FocusScoreFeature",
+                     "SaturationFeature", "SharpnessFeature",
+                     "PowerSpectrumFeature"):
+            continue   # handled above (multi-family shared passes / IMQ)
         else:  # moments: one dict covers both prefixes, split by family
             mem = moments_members(acc)
             if fam == "Imoms2D_feature":

@@ -45,3 +45,54 @@ def test_sharpness_finite(imq_df):
     img, row = imq_df
     assert np.isfinite(row.SHARPNESS) and row.SHARPNESS >= 0
     assert np.isfinite(row.POWER_SPECTRUM_SLOPE)
+
+
+def test_imq_oversized_streamed_parity():
+    """Forced-oversized (ram_limit=1) IMQ matches the in-memory trivial
+    path for all four families -- the reference's phase-3 coverage is
+    focus+saturation only (power_spectrum.h:28 / sharpness.h:32 are empty
+    stubs), and its osized focus score even diverges from its own trivial
+    algorithm; this build streams all four consistently
+    (pipeline/imq_streamed.py)."""
+    from nyxus_tpu.api import ImageQuality
+    r = np.random.default_rng(5)
+    img = r.integers(1, 4000, (300, 400)).astype(np.uint16)
+    lab = np.zeros((300, 400), np.uint16)
+    lab[20:280, 30:370] = 7
+    mem = ImageQuality(precision="f64").featurize(img, lab)
+    st = ImageQuality(precision="f64", ram_limit=1).featurize(img, lab)
+    assert list(mem.ROI_label) == list(st.ROI_label)
+    tol = {"SHARPNESS": 1e-6, "POWER_SPECTRUM_SLOPE": 1e-6}
+    for c in ("FOCUS_SCORE", "LOCAL_FOCUS_SCORE", "MIN_SATURATION",
+              "MAX_SATURATION", "SHARPNESS", "POWER_SPECTRUM_SLOPE"):
+        np.testing.assert_allclose(st[c].to_numpy(), mem[c].to_numpy(),
+                                   rtol=tol.get(c, 1e-9), err_msg=c)
+
+
+def test_imq_oversized_small_blocks():
+    """Block-row streaming with tiny blocks (forces halo/boundary code)."""
+    from nyxus_tpu.pipeline import imq_streamed as oimq
+    from nyxus_tpu.pipeline.labels import RoiRecord
+    from nyxus_tpu.pipeline.sources import ArrayPairSource
+    from nyxus_tpu.ops import imq as trivial
+    r = np.random.default_rng(9)
+    img = r.integers(0, 900, (61, 47)).astype(np.uint16)
+    lab = np.zeros((61, 47), np.uint16)
+    lab[3:58, 2:45] = 3
+    src = ArrayPairSource(img, lab)
+    rec = RoiRecord(3, int((lab == 3).sum()), 3, 57, 2, 44, 0, 0)
+    crop = np.where(lab[3:58, 2:45] == 3, img[3:58, 2:45], 0).astype(float)
+    for block in (7, 16, 64):
+        fs = oimq.focus_score_streamed(rec, src, block)
+        tfs, tlfs = trivial.focus_score(crop)
+        assert fs["FOCUS_SCORE"] == pytest.approx(tfs, rel=1e-9)
+        assert fs["LOCAL_FOCUS_SCORE"] == pytest.approx(tlfs, rel=1e-9)
+        sat = oimq.saturation_streamed(rec, src, block)
+        tmn, tmx = trivial.saturation(crop)
+        assert sat["MIN_SATURATION"] == tmn and sat["MAX_SATURATION"] == tmx
+        sh = oimq.sharpness_streamed(rec, src, block)
+        assert sh["SHARPNESS"] == pytest.approx(trivial.sharpness(crop),
+                                                rel=1e-7)
+        ps = oimq.power_spectrum_streamed(rec, src, np.float64, block)
+        assert ps["POWER_SPECTRUM_SLOPE"] == pytest.approx(
+            trivial.power_spectrum_slope(crop), rel=1e-6)

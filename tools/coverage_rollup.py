@@ -65,7 +65,9 @@ ORACLE_OF = {
                            ("default",)),
     "test_geometry.py": ("analytic", "oracle", ("default",)),
     "test_gabor_zernike.py": ("numpy-oracle", "oracle", ("default",)),
-    "test_imq.py": ("numpy-oracle", "oracle", ("default",)),
+    "test_imq.py": ("numpy-oracle", "oracle", ("default", "oversized")),
+    "test_stream_sources.py": ("trivial-path-parity", "invariant",
+                               ("oversized",)),
     "test_chords_vec.py": ("loop-oracle-bitparity", "oracle", ("default",)),
     "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden", ("ibsi",)),
     "test_reference_parity.py": ("reference-binary-csv", "golden",
