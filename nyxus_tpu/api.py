@@ -47,6 +47,24 @@ def _force_finite(values: np.ndarray, noval: float) -> np.ndarray:
     return out
 
 
+def _prefetched(load, n):
+    """Yield (k, load(k)) with item k+1 loading on a reader thread while
+    item k is consumed (double-buffered IO; reference overlaps IO with
+    compute via threaded tile loaders, abs_tile_loader.h:19)."""
+    from concurrent.futures import ThreadPoolExecutor
+    if n == 0:
+        return
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(load, 0)
+        for k in range(n):
+            item = fut.result()
+            fut = ex.submit(load, k + 1) if k + 1 < n else None
+            yield k, item
+    finally:
+        ex.shutdown(wait=False)
+
+
 class ImageQuality:
     """Image-quality feature extractor (reference: nyxus.py:1468-2188).
 
@@ -692,12 +710,22 @@ class Nyxus3D:
         frames = []
         from .io.strpat import StringPattern
         if StringPattern.is_layoutA_fpattern(file_pattern):
-            # 2.5D: z-stacks of 2D slice files form volumes
-            # (reference: phase2_25d.cpp, Imgfile3D_layoutA)
-            for key, ipaths, lpaths in ds.read_3d_layoutA(
-                    intensity_dir, label_dir, file_pattern):
-                ivol = np.stack([readers.read_gray(p) for p in ipaths])
-                lvol = np.stack([readers.read_gray(p) for p in lpaths])
+            # 2.5D: z-stacks of 2D slice files form volumes (reference:
+            # phase2_25d.cpp, Imgfile3D_layoutA).  Stack k+1 assembles on
+            # the reader thread while stack k computes (the 2D directory
+            # path's IO/compute overlap; reference thread-per-volume,
+            # workflow_3d_whole.cpp:294)
+            groups = list(ds.read_3d_layoutA(
+                intensity_dir, label_dir, file_pattern))
+
+            def load_stack(k):
+                _, ipaths, lpaths = groups[k]
+                return (np.stack([readers.read_gray(p) for p in ipaths]),
+                        np.stack([readers.read_gray(p) for p in lpaths]))
+
+            for k, vols in _prefetched(load_stack, len(groups)):
+                key = groups[k][0]
+                ivol, lvol = vols
                 labs, values = self._runner.run(
                     self._prep(ivol), lvol.astype(np.int32))
                 values = _force_finite(values, self.cfg.noval)
@@ -712,8 +740,7 @@ class Nyxus3D:
             if self._shard_slides:
                 from .parallel import process_shard
                 vol_pairs = process_shard(vol_pairs)
-            for ipath, lpath in vol_pairs:
-                frames.append(self._featurize_volume_pair(ipath, lpath))
+            frames.extend(self._featurize_volume_pairs(vol_pairs))
         df = pd.concat(frames, ignore_index=True) if frames else \
             _frame(self.header, "", "", np.zeros(0, np.int64),
                    np.zeros((0, len(self.header) - 4)))
@@ -729,17 +756,38 @@ class Nyxus3D:
             raise IOError("The list of intensity file paths is empty")
         if mask_files is None and not single_roi:
             raise IOError("The list of segment file paths is empty")
-        frames = []
-        for k, ipath in enumerate(intensity_files):
-            lpath = ipath if single_roi else mask_files[k]
-            frames.append(self._featurize_volume_pair(ipath, lpath,
-                                                      single_roi=single_roi))
+        pairs = [(ipath, ipath if single_roi else mask_files[k])
+                 for k, ipath in enumerate(intensity_files)]
+        frames = self._featurize_volume_pairs(pairs, single_roi=single_roi)
         df = pd.concat(frames, ignore_index=True)
         if output_type == "pandas":
             return df
         from .io import writers
         self._arrow_path = writers.write_dataframe(df, output_type, output_path)
         return self._arrow_path
+
+    def _featurize_volume_pairs(self, pairs, single_roi=False):
+        """Per-slide frames for a volume pair list; volume k+1 decodes on a
+        reader thread while volume k computes (the 2D path's IO/compute
+        overlap; the reference fans whole volumes over threads,
+        workflow_3d_whole.cpp:294)."""
+        from .io import readers
+
+        def load(k):
+            ipath, lpath = pairs[k]
+            ivol, imeta = readers.read_volume(ipath, with_meta=True)
+            if single_roi:
+                lvol = np.ones(ivol.shape, np.int32)
+            else:
+                lvol, _ = readers.read_volume(lpath, with_meta=True)
+            return ivol, imeta, lvol
+
+        frames = []
+        for k, (ivol, imeta, lvol) in _prefetched(load, len(pairs)):
+            ipath, lpath = pairs[k]
+            frames.append(self._featurize_volume_arrays(
+                ipath, "" if single_roi else lpath, ivol, imeta, lvol))
+        return frames
 
     def _featurize_volume_pair(self, ipath, lpath, single_roi=False):
         """One volume pair; per-time-frame loop mirrors
@@ -750,6 +798,10 @@ class Nyxus3D:
             lvol = np.ones(ivol.shape, np.int32)
         else:
             lvol, _ = readers.read_volume(lpath, with_meta=True)
+        return self._featurize_volume_arrays(
+            ipath, "" if single_roi else lpath, ivol, imeta, lvol)
+
+    def _featurize_volume_arrays(self, ipath, lname, ivol, imeta, lvol):
         nt = max(imeta["nt"], 1)
         frames = []
         for t in range(nt):
@@ -757,8 +809,7 @@ class Nyxus3D:
             labs, values = self._runner.run(self._prep(ivol[t]),
                                             lt.astype(np.int32))
             values = _force_finite(values, self.cfg.noval)
-            f = _frame(self.header, ipath, "" if single_roi else lpath,
-                       labs, values)
+            f = _frame(self.header, ipath, lname, labs, values)
             f[col.COL_T] = float(t)
             frames.append(f)
         return pd.concat(frames, ignore_index=True)

@@ -363,6 +363,7 @@ class VolumeRunner:
         d_int = jnp.asarray(pi)
         d_lab = jnp.asarray(pl)
 
+        dispatched = []
         for shape, idxs in sorted(buckets.items()):
             brecs = [recs[i] for i in idxs]
             z0 = jnp.asarray([r.z0 for r in brecs], jnp.int32)
@@ -398,6 +399,19 @@ class VolumeRunner:
             out = _extract3d(*batch_args[:8],
                              self.families, self.cfg, static_meta,
                              slide_range=batch_args[8])
+            # dispatch every bucket before collecting any: executions
+            # queue back-to-back on the device and the D2H pulls overlap
+            # later buckets' compute (tunneled-link latency hiding, same
+            # reason as runner.py's fused path)
+            for members in out.values():
+                for arr in members.values():
+                    try:
+                        arr.copy_to_host_async()
+                    except Exception:
+                        pass
+            dispatched.append((idxs, out))
+
+        for idxs, out in dispatched:
             out = jax.device_get(out)
             rows = np.asarray(idxs)
             for members in out.values():

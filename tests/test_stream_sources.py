@@ -128,3 +128,32 @@ def test_nifti_memmap_backed(tmp_path):
     pg = str(tmp_path / "v.nii.gz")
     readers.write_nifti(pg, vol)
     np.testing.assert_array_equal(np.asarray(readers.read_nifti(pg)), vol)
+
+
+def test_3d_pipelined_matches_serial(tmp_path):
+    """featurize_files (prefetch-pipelined volume loop) must equal the
+    per-volume serial path (VERDICT r3 next-step 7)."""
+    import pandas as pd
+    from nyxus_tpu.api import Nyxus3D
+    from nyxus_tpu.io import readers
+    r = np.random.default_rng(4)
+    ips, lps = [], []
+    for k in range(3):
+        vol = r.integers(1, 300, (6, 24, 20)).astype(np.uint16)
+        lab = np.zeros((6, 24, 20), np.uint16)
+        lab[1:5, 3:12, 2:10] = 1
+        lab[2:6, 14:22, 8:18] = 2
+        ip = str(tmp_path / ("v%d.nii" % k))
+        lp = str(tmp_path / ("m%d.nii" % k))
+        readers.write_nifti(ip, vol)
+        readers.write_nifti(lp, lab)
+        ips.append(ip)
+        lps.append(lp)
+    nyx = Nyxus3D(["3MEAN", "3AREA", "3VOLUME_CONVEXHULL"], precision="f64")
+    piped = nyx.featurize_files(ips, lps)
+    serial = pd.concat([nyx._featurize_volume_pair(i, l)
+                        for i, l in zip(ips, lps)], ignore_index=True)
+    assert len(piped) == len(serial) == 6
+    for c in piped.columns[4:]:
+        np.testing.assert_allclose(piped[c].to_numpy(),
+                                   serial[c].to_numpy(), err_msg=c)
