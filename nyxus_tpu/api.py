@@ -786,7 +786,8 @@ class Nyxus3D:
         for k, (ivol, imeta, lvol) in _prefetched(load, len(pairs)):
             ipath, lpath = pairs[k]
             frames.append(self._featurize_volume_arrays(
-                ipath, "" if single_roi else lpath, ivol, imeta, lvol))
+                ipath, "" if single_roi else lpath, ivol, imeta, lvol,
+                wholeslide=single_roi))
         return frames
 
     def _featurize_volume_pair(self, ipath, lpath, single_roi=False):
@@ -799,15 +800,18 @@ class Nyxus3D:
         else:
             lvol, _ = readers.read_volume(lpath, with_meta=True)
         return self._featurize_volume_arrays(
-            ipath, "" if single_roi else lpath, ivol, imeta, lvol)
+            ipath, "" if single_roi else lpath, ivol, imeta, lvol,
+            wholeslide=single_roi)
 
-    def _featurize_volume_arrays(self, ipath, lname, ivol, imeta, lvol):
+    def _featurize_volume_arrays(self, ipath, lname, ivol, imeta, lvol,
+                                 wholeslide=False):
         nt = max(imeta["nt"], 1)
         frames = []
         for t in range(nt):
             lt = lvol[t] if lvol.shape[0] > t else lvol[0]
             labs, values = self._runner.run(self._prep(ivol[t]),
-                                            lt.astype(np.int32))
+                                            lt.astype(np.int32),
+                                            wholeslide=wholeslide)
             values = _force_finite(values, self.cfg.noval)
             f = _frame(self.header, ipath, lname, labs, values)
             f[col.COL_T] = float(t)

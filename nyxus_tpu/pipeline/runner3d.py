@@ -32,6 +32,9 @@ class Roi3D:
     z0: int; z1: int; y0: int; y1: int; x0: int; x1: int
     vmin: float
     vmax: float
+    # fed-cloud voxel count when it differs from the physical aux area
+    # (3D anisotropy: the virtual member count)
+    cloud_area: int = None
 
     @property
     def depth(self):
@@ -97,7 +100,7 @@ def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
 
 class Ctx3D:
     def __init__(self, intens, mask, area, vmin, vmax, dd, hh, ww, cfg,
-                 static_meta=(), slide_range=None):
+                 static_meta=(), slide_range=None, cloud_area=None):
         # slide intensity range (max - min over the volume's masked voxels):
         # COVERED_IMAGE_INTENSITY_RANGE divides the ROI range by it
         # (3d_intensity.cpp:57-65 uses the slide's pre-ROI extrema)
@@ -105,6 +108,11 @@ class Ctx3D:
         self.intens = intens
         self.mask = mask
         self.area = area
+        # fed-cloud voxel count: == area normally; under 3D anisotropy the
+        # VIRTUAL member count (run/zone Np denominators use
+        # raw_pixels_3D.size() while intensity divides by the PHYSICAL
+        # aux_area, 3d_intensity.cpp:67 -- both reference quirks)
+        self.cloud_area = area if cloud_area is None else cloud_area
         self.vmin = vmin
         self.vmax = vmax
         self.depths = dd
@@ -172,8 +180,8 @@ def _f_glrlm(ctx, cfg):
     gi, ng = _grey(ctx, cfg, "glrlm")
     lev = ctx.levels(gi)
     valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
-    # Np = ROI voxel count (3d_glrlm.cpp:196 raw_pixels_3D.size())
-    n_pixels = ctx.area
+    # Np = fed-cloud voxel count (3d_glrlm.cpp:196 raw_pixels_3D.size())
+    n_pixels = ctx.cloud_area
     nr = max(ctx.intens.shape[1:])
     return t3.glrlm3d_all(lev, valid, n_pixels, ctx.vmin, ctx.vmax, ng, nr,
                           cfg.noval, ctx.intens.dtype)
@@ -184,8 +192,8 @@ def _f_glszm(ctx, cfg):
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     valid = ctx.aabb & (lev != zero_i)
-    # Np = ROI voxel count (3d_glszm.cpp:529 nnzVoxels = raw_pixels_3D.size())
-    np_pixels = ctx.area
+    # Np = fed-cloud voxel count (3d_glszm.cpp:529 raw_pixels_3D.size())
+    np_pixels = ctx.cloud_area
     return t3.glszm3d_all(jnp.where(valid, lev, -1), valid, np_pixels,
                           ctx.vmin, ctx.vmax, cfg.noval, ctx.intens.dtype)
 
@@ -194,6 +202,8 @@ def _f_gldzm(ctx, cfg):
     gi, ng = _grey(ctx, cfg)   # no 3gldzm metaparam path exists in the reference
     lev = ctx.levels(gi)
     valid = ctx.aabb if gi > 0 else (ctx.aabb & (lev > 0))
+    # GLDZM's Np stays the PHYSICAL aux_area even under anisotropy
+    # (3d_gldzm.cpp:547 calc_features(..., r.aux_area))
     return t3.gldzm3d_all(jnp.where(ctx.aabb, lev, 0), valid, ctx.heights,
                           ctx.widths, ctx.area, ctx.vmin, ctx.vmax,
                           cfg.noval, ctx.intens.dtype)
@@ -257,9 +267,9 @@ FAMILIES3D = {
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
 def _extract3d(intens, mask, area, vmin, vmax, dd, hh, ww, families, cfg,
-               static_meta=(), slide_range=None):
+               static_meta=(), slide_range=None, cloud_area=None):
     ctx = Ctx3D(intens, mask, area, vmin, vmax, dd, hh, ww, cfg, static_meta,
-                slide_range=slide_range)
+                slide_range=slide_range, cloud_area=cloud_area)
     return {name: FAMILIES3D[name](ctx, cfg) for name in families}
 
 
@@ -288,11 +298,21 @@ class VolumeRunner:
             self.member_slots[code] = (off, width)
             off += width
 
-    def run(self, intens: np.ndarray, label_img: np.ndarray):
+    def run(self, intens: np.ndarray, label_img: np.ndarray,
+            wholeslide: bool = False):
         if self.cfg.mergerois:
             # --mergerois: whole nonzero foreground is one ROI
             label_img = (label_img != 0).astype(label_img.dtype)
         recs, smin, smax = discover_rois_3d(intens, label_img)
+        if wholeslide and len(recs) == 1:
+            # whole-volume vROI: INCLUSIVE one-past AABB 0..D,0..H,0..W
+            # (init_from_whd, aabb.h:61-69) -- the last plane/row/col of
+            # the cube stay empty and participate as grey 0, like the 2D
+            # whole-slide quirk
+            D, H, W = intens.shape
+            r0 = recs[0]
+            recs[0] = Roi3D(r0.label, r0.area, 0, D, 0, H, 0, W,
+                            r0.vmin, r0.vmax)
         eps = 1.1920929e-07
         if self.cfg.aniso_customized or abs(self.cfg.aniso_z - 1.0) > eps:
             # 3D anisotropy: physical phase-1 metrics + NN-resampled virtual
@@ -301,11 +321,37 @@ class VolumeRunner:
             ax, ay, az = self.cfg.aniso_x, self.cfg.aniso_y, self.cfg.aniso_z
             recs = [_aniso_bbox3(r, ax, ay, az) for r in recs]
             D, H, W = intens.shape
-            ps = np.minimum((np.arange(int(D * az)) / az).astype(np.int64), D - 1)
-            pr = np.minimum((np.arange(int(H * ay)) / ay).astype(np.int64), H - 1)
-            pc = np.minimum((np.arange(int(W * ax)) / ax).astype(np.int64), W - 1)
-            intens = np.ascontiguousarray(intens[ps][:, pr][:, :, pc])
-            label_img = np.ascontiguousarray(label_img[ps][:, pr][:, :, pc])
+            # the 3D virtual->physical map ROUNDS (+0.5) and SKIPS
+            # positions beyond the physical bounds, leaving those virtual
+            # voxels empty -- unlike the 2D path's truncation+clamp
+            # (scanTrivialRois_3D_anisotropic, phase2_3d.cpp:385-400)
+            ps = (np.arange(int(D * az)) / az + 0.5).astype(np.int64)
+            pr = (np.arange(int(H * ay)) / ay + 0.5).astype(np.int64)
+            pc = (np.arange(int(W * ax)) / ax + 0.5).astype(np.int64)
+            vi = np.zeros((len(ps), len(pr), len(pc)), intens.dtype)
+            vl = np.zeros(vi.shape, label_img.dtype)
+            okz, oky, okx = ps < D, pr < H, pc < W
+            sub = np.ix_(okz, oky, okx)
+            vi[sub] = intens[ps[okz]][:, pr[oky]][:, :, pc[okx]]
+            vl[sub] = label_img[ps[okz]][:, pr[oky]][:, :, pc[okx]]
+            intens, label_img = vi, vl
+            # after the virtual rescan the reference REPLACES each AABB
+            # with the natural bbox of the fed virtual voxels
+            # (aabb.update_from_voxelcloud, phase2_3d.cpp:695-699); the
+            # scaled AABB above only seeded the batch packing.  aux
+            # area/vmin/vmax stay physical (phase-1 values).
+            # the voxel COUNT becomes the virtual cloud's size too (run/
+            # zone "percentage" denominators divide by the fed cloud size,
+            # not the physical aux_area); vmin/vmax stay physical
+            vrecs, _, _ = discover_rois_3d(intens, label_img)
+            nat = {r.label: r for r in vrecs}
+            recs = [Roi3D(r.label, r.area,
+                          nat[r.label].z0, nat[r.label].z1,
+                          nat[r.label].y0, nat[r.label].y1,
+                          nat[r.label].x0, nat[r.label].x1,
+                          r.vmin, r.vmax,
+                          cloud_area=nat[r.label].area)
+                    for r in recs if r.label in nat]
         n = len(recs)
         values = np.full((n, self.n_values), -0.0, np.float64)
         if n == 0:
@@ -378,6 +424,8 @@ class VolumeRunner:
 
             ci, cm = jax.vmap(one)(z0, y0, x0, labsv)
             area = jnp.asarray([r.area for r in brecs], jnp.int32)
+            carea = jnp.asarray([r.cloud_area if r.cloud_area is not None
+                                 else r.area for r in brecs], jnp.int32)
             vmin = jnp.asarray([r.vmin for r in brecs], dtype)
             vmax = jnp.asarray([r.vmax for r in brecs], dtype)
             dd = jnp.asarray([r.depth for r in brecs], jnp.int32)
@@ -392,13 +440,14 @@ class VolumeRunner:
             ceil = 1 << (ceil - 1).bit_length()
             static_meta = (("max_int", ceil),)
             srange = jnp.full((len(brecs),), smax - smin, dtype)
-            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww, srange)
+            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww, srange, carea)
             if self.mesh is not None:
                 from ..parallel import shard_batch
                 batch_args, _ = shard_batch(self.mesh, batch_args)
             out = _extract3d(*batch_args[:8],
                              self.families, self.cfg, static_meta,
-                             slide_range=batch_args[8])
+                             slide_range=batch_args[8],
+                             cloud_area=batch_args[9])
             # dispatch every bucket before collecting any: executions
             # queue back-to-back on the device and the D2H pulls overlap
             # later buckets' compute (tunneled-link latency hiding, same
@@ -427,10 +476,39 @@ class VolumeRunner:
                     values[rows, off:off + w] = arr[:, :w]
 
         if self.need_surface:
-            self._surface(values, recs, label_img, skip=over_set)
+            if wholeslide and len(recs) == 1:
+                self._surface_wholevolume(values, recs[0])
+            else:
+                self._surface(values, recs, label_img, skip=over_set)
 
         labs = np.asarray([r.label for r in recs], np.int64)
         return labs, values
+
+    def _surface_wholevolume(self, values, r):
+        """singleROI surface members: analytic box quantities from the
+        one-past AABB dims; axis features zeroed
+        (3d_surface.cpp:330-352)."""
+        import math
+        w, h, d = float(r.width), float(r.height), float(r.depth)
+        area = 2.0 * (w * h + h * d + w * d)
+        vol = w * h * d
+        out = {
+            "AREA": area, "VOLUME_CONVEXHULL": vol, "VOXEL_VOLUME": vol,
+            "MESH_VOLUME": vol, "AREA_2_VOLUME": area / vol,
+            "COMPACTNESS1": vol / math.sqrt(math.pi * area ** 3),
+            "COMPACTNESS2": 36.0 * math.pi * vol * vol / area ** 3,
+            "SPHERICAL_DISPROPORTION":
+                area / (36.0 * math.pi * vol * vol) ** (1.0 / 3.0),
+            "SPHERICITY":
+                (36.0 * math.pi * vol * vol) ** (1.0 / 3.0) / area,
+            "MAJOR_AXIS_LEN": 0.0, "MINOR_AXIS_LEN": 0.0,
+            "LEAST_AXIS_LEN": 0.0, "ELONGATION": 0.0, "FLATNESS": 0.0,
+        }
+        for member, v in out.items():
+            code = tx.F3D.get(member)
+            if code is not None and code in self.member_slots:
+                off, _ = self.member_slots[code]
+                values[0, off] = v
 
     def _surface(self, values, recs, label_img, skip=frozenset()):
         """D3_SurfaceFeature host computation (3d_surface.cpp:?)."""

@@ -147,3 +147,150 @@ def test_3d_reference_binary_parity():
             failures.append((c, round(p90, 6)))
     assert checked > 200, checked
     assert not failures, failures[:40]
+
+
+def test_hu_mode_parity():
+    """All *ALL* columns under --preserve-hu on a positive float HU-like
+    slide vs the reference BINARY (fixture tools/gen_config_fixtures.
+    gen_hu_2d) -- the vetting matrix's HU column for every 2D family.
+
+    Load-map note (verified against the binary): the reference CLI's
+    float-TIFF prescan computes the slide min over full tile buffers
+    INCLUDING padding zeros, so its documented floored-slide-min offset
+    never engages for file-based float slides -- the effective map is
+    u = round(x) clamped at 0.  Parity is pinned at that effective map;
+    the documented offset semantics (shared by the reference's own Python
+    montage path) are pinned separately by the HU tests in test_ih.py."""
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_hu_320x320_seed11.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, labels = bench.make_dsb_like(h=320, w=320, n_blobs=40, seed=11)
+    hu = ((intens.astype(np.int64) % 59) * 30 + 100).astype(np.float32)
+    cfg = EngineConfig(precision="f64", preserve_hu=True)
+    fset = tx.parse_feature_request(["*ALL*"])
+    runner = PairRunner(fset, cfg)
+    I = np.round(hu).astype(np.uint32)        # the binary's effective map
+    labs, values = runner.run(I, labels, hu_offset=0.0)
+    cols, _ = col.build_header(fset, cfg)
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    _compare(ref, ours, 700)
+
+
+def test_3d_aniso_reference_binary_parity():
+    """*3D_ALL* with --anisox=1.4 --anisoy=1.2 --anisoz=1.5 vs the
+    reference binary (fixture tools/gen_config_fixtures.gen_3d_aniso) --
+    the vetting matrix's 3D aniso column."""
+    from tests.test_oversized import _blob3d
+    from nyxus_tpu.pipeline.runner3d import VolumeRunner
+
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_3d_aniso_48x56x60_seed4.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, labels = _blob3d(seed=4, shape=(48, 56, 60))
+    intens = (intens % 59 + 1).astype(np.uint16)
+    cfg = EngineConfig(precision="f64",
+                       aniso_x=float(np.float32(1.4)),
+                       aniso_y=float(np.float32(1.2)),
+                       aniso_z=float(np.float32(1.5)))
+    fset = tx.parse_feature_request(["*3D_ALL*"], dim=3)
+    runner = VolumeRunner(fset, cfg)
+    labs, values = runner.run(intens, labels.astype(np.int32))
+    cols, _ = col.build_header(fset, cfg)
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    # 3MESH_VOLUME/3VOLUME_CONVEXHULL: the reference's "hull" is an
+    # approximate complex built from PER-PLANE 2D contours
+    # (3d_surface.cpp:435-482) -- this engine computes the true 3D convex
+    # hull.  They agree to 0.07% on large ROIs but diverge on few-voxel
+    # ROIs, which the anisotropic resampling amplifies; intentional
+    # divergence (ours is the exact quantity).
+    _compare(ref, ours, 150, skip_prefixes=("3MESH_VOLUME",
+                                            "3VOLUME_CONVEXHULL"))
+
+
+def test_3d_wholevolume_reference_binary_parity():
+    """3D whole-volume (singleROI) morphology vs the reference binary
+    (fixture tools/gen_config_fixtures.gen_3d_whole; the binary ABORTS on
+    *3D_ALL* in this mode -- "illegal call of D3_VoxelIntensityFeatures" --
+    so the fixture holds the families its whole-volume reduce supports).
+
+    Pinned: the analytic singleROI surface family (box quantities from the
+    one-past AABB, axis features zeroed, 3d_surface.cpp:330-352).  The
+    texture families are NOT yet pinned in this mode: the reference's
+    whole-volume cube construction leaves a 0.5-6% gap against this
+    engine's one-past-AABB run that is not yet root-caused (tracked gap;
+    segmented-mode 3D texture IS binary-pinned in
+    test_3d_reference_binary_parity)."""
+    from tests.test_oversized import _blob3d
+    from nyxus_tpu.pipeline.runner3d import VolumeRunner
+
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_3d_whole_48x56x60_seed4.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, _ = _blob3d(seed=4, shape=(48, 56, 60))
+    intens = (intens % 59 + 1).astype(np.uint16)
+    fset = tx.parse_feature_request(["*3D_ALL_MORPHOLOGY*"], dim=3)
+    runner = VolumeRunner(fset, EngineConfig(precision="f64"))
+    labs, values = runner.run(intens, np.ones(intens.shape, np.int32),
+                              wholeslide=True)
+    cols, _ = col.build_header(fset, EngineConfig())
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    _compare(ref, ours, 12)
+
+
+def test_3d_ibsi_reference_binary_parity():
+    """*3D_ALL* under --ibsi=true vs the reference binary (fixture
+    tools/gen_config_fixtures.gen_3d_ibsi) -- the vetting matrix's 3D ibsi
+    column."""
+    from tests.test_oversized import _blob3d
+    from nyxus_tpu.pipeline.runner3d import VolumeRunner
+
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_3d_ibsi_48x56x60_seed4.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, labels = _blob3d(seed=4, shape=(48, 56, 60))
+    intens = (intens % 59 + 1).astype(np.uint16)
+    cfg = EngineConfig(precision="f64", ibsi=True)
+    fset = tx.parse_feature_request(["*3D_ALL*"], dim=3, ibsi=True)
+    runner = VolumeRunner(fset, cfg)
+    labs, values = runner.run(intens, labels.astype(np.int32))
+    cols, _ = col.build_header(fset, cfg)
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    _compare(ref, ours, 150)
+
+
+def test_3d_hu_reference_binary_parity():
+    """*3D_ALL* under --preserve-hu on an int16 HU-like NIfTI volume vs the
+    reference binary (fixture tools/gen_config_fixtures.gen_3d_hu) -- the
+    3D hu column.  Unlike the CLI float-TIFF path (see test_hu_mode_parity),
+    the NIfTI loader applies the documented floored-slide-min offset, which
+    this engine's prep mirrors."""
+    from tests.test_oversized import _blob3d
+    from nyxus_tpu.pipeline.runner3d import VolumeRunner
+
+    ref = pd.read_csv(gzip.open(
+        os.path.join(DATA, "ref_3d_hu_48x56x60_seed4.csv.gz"), "rt"))
+    ref = ref.sort_values("ROI_label").set_index("ROI_label")
+    intens, labels = _blob3d(seed=4, shape=(48, 56, 60))
+    hu = ((intens.astype(np.int64) % 59) * 30 - 900).astype(np.int16)
+    off = np.floor(hu.min())
+    I = np.maximum(np.round(hu - off), 0).astype(np.uint16)
+    cfg = EngineConfig(precision="f64", preserve_hu=True)
+    fset = tx.parse_feature_request(["*3D_ALL*"], dim=3)
+    runner = VolumeRunner(fset, cfg)
+    labs, values = runner.run(I, labels.astype(np.int32))
+    cols, _ = col.build_header(fset, cfg)
+    ours = pd.DataFrame(values, columns=cols[4:])
+    ours["ROI_label"] = labs
+    ours = ours.set_index("ROI_label")
+    # hull members: reference's per-plane contour hull complex vs our true
+    # 3D hull (see test_3d_aniso note) -- 0.045% apart here
+    _compare(ref, ours, 150, skip_prefixes=("3MESH_VOLUME",
+                                            "3VOLUME_CONVEXHULL"))

@@ -96,3 +96,30 @@ def test_imq_oversized_small_blocks():
         ps = oimq.power_spectrum_streamed(rec, src, np.float64, block)
         assert ps["POWER_SPECTRUM_SLOPE"] == pytest.approx(
             trivial.power_spectrum_slope(crop), rel=1e-6)
+
+
+def test_imq_config_invariance_and_hu():
+    """IMQ across engine configs: ibsi/radiomics binning modes do not
+    touch the IMQ math (invariance pins that), whole-image mode (no label
+    image) is the family's wholeslide form, and preserve_hu shifts the
+    input domain by the floored slide min before the same math."""
+    from nyxus_tpu.api import ImageQuality
+    r = np.random.default_rng(12)
+    img = r.integers(1, 3000, (96, 128)).astype(np.uint16)
+    cols = ["FOCUS_SCORE", "LOCAL_FOCUS_SCORE", "MIN_SATURATION",
+            "MAX_SATURATION", "SHARPNESS", "POWER_SPECTRUM_SLOPE"]
+    base = ImageQuality(precision="f64").featurize(img)       # wholeslide
+    for kw in (dict(ibsi=True), dict(coarse_gray_depth=-32)):
+        alt = ImageQuality(precision="f64", **kw).featurize(img)
+        for c in cols:
+            np.testing.assert_allclose(alt[c], base[c], rtol=0, atol=0,
+                                       err_msg="%s under %r" % (c, kw))
+    # preserve_hu on a signed HU-like image: u = round(x - floor(min));
+    # the same offset applied by hand must reproduce every member
+    hu = img.astype(np.int32) - 900
+    got = ImageQuality(precision="f64", preserve_hu=True).featurize(hu)
+    off = np.floor(hu.min())
+    shifted = np.maximum(np.round(hu - off), 0).astype(np.uint32)
+    exp = ImageQuality(precision="f64").featurize(shifted)
+    for c in cols:
+        np.testing.assert_allclose(got[c], exp[c], rtol=1e-12, err_msg=c)

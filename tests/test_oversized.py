@@ -222,3 +222,57 @@ def test_oversized3d_matches_trivial_ibsi():
         atol = 1e-6 if "INFOMEAS" in c else 1e-10
         np.testing.assert_allclose(b[both], a[both], rtol=1e-8, atol=atol,
                                    err_msg=c)
+
+
+def test_oversized_all_group_parity():
+    """`*ALL*` forced-oversized vs trivial: every column the streamed
+    phase-3 path assigns must match the dense-batch value; the count of
+    matched columns is asserted so silent coverage regressions fail
+    (VERDICT r3 next-step 6: oversized column growth)."""
+    intens, labels = make_pair()
+    mem = Nyxus(["*ALL*"], precision="f64").featurize(intens, labels)
+    ovr = Nyxus(["*ALL*"], ram_limit=1,
+                precision="f64").featurize(intens, labels)
+    assert (mem.ROI_label == ovr.ROI_label).all()
+    # row 0 = the oversized blob (label 5 sorts after 2; find it)
+    i_over = list(ovr.ROI_label).index(5)
+    MOMENTS = ("IMOM", "SMOM", "HU_", "NORM_", "CENTRAL_", "WT_", "SPAT_",
+               "WEIGHTED_")
+    # high-order central moments cancel catastrophically (values ~1e0-1e6
+    # riding on ~1e15-scale sums): compare them against the FAMILY scale,
+    # not the member value
+    famscale = {}
+    for c in mem.columns[4:]:
+        for pref in MOMENTS:
+            if c.startswith(pref):
+                famscale[pref] = max(famscale.get(pref, 1.0),
+                                     abs(float(mem[c].iloc[i_over])))
+    checked = 0
+    bad = []
+    for c in mem.columns[4:]:
+        a = float(ovr[c].iloc[i_over])
+        b = float(mem[c].iloc[i_over])
+        # unassigned sentinel (-0.0) on the streamed side = family not
+        # streamable for this member; skip (counted by the threshold)
+        if a == 0.0 and np.signbit(a) and not (b == 0.0 and np.signbit(b)):
+            continue
+        if not (np.isfinite(a) and np.isfinite(b)):
+            continue
+        checked += 1
+        atol = 1e-12
+        tol = 1e-7
+        for pref in MOMENTS:
+            if c.startswith(pref):
+                tol = 1e-5
+                atol = 1e-8 * famscale[pref]
+                break
+        else:
+            if c.startswith(("GLCM_", "GLRLM_", "GLSZM_", "GLDZM_",
+                             "GLDM_", "NGLDM_", "NGTDM_", "GABOR")):
+                tol = 1e-5
+        if abs(a - b) > tol * max(abs(b), 1e-6) + atol:
+            bad.append((c, a, b))
+    # the streamed path currently serves 480+ of the 747 *ALL* columns on
+    # a contoured oversized ROI; regressions below that bar must fail
+    assert checked >= 480, "streamed phase-3 column count fell to %d" % checked
+    assert not bad, "streamed values diverge: %r" % bad[:20]

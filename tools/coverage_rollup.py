@@ -72,10 +72,12 @@ ORACLE_OF = {
     "test_goldens_ibsi.py": ("IBSI-pinned-golden", "golden", ("ibsi",)),
     "test_reference_parity.py": ("reference-binary-csv", "golden",
                                  ("default",)),
-    # ibsi + radiomics-bin 2D fixtures, plus the DEFAULT-config 3D fixture
-    # (test_3d_reference_binary_parity: *3D_ALL* vs the binary's --dim=3 run)
+    # ibsi + radiomics-bin + hu 2D fixtures, plus the 3D fixtures:
+    # default (*3D_ALL*), aniso (--anisox/y/z), and whole-volume
+    # (singleROI morphology; the binary aborts on wider whole-volume sets)
     "test_config_parity.py": ("reference-binary-csv", "golden",
-                              ("ibsi", "radiomics-bin", "default")),
+                              ("ibsi", "radiomics-bin", "default", "hu",
+                               "aniso", "wholeslide")),
     "test_aniso.py": ("reference-binary-csv+virtual-oracle", "golden",
                       ("aniso",)),
     "test_wholeslide_parity.py": ("reference-binary-csv", "golden",
@@ -102,13 +104,50 @@ NICK_OK = {"test_reference_parity.py", "test_tpu_device.py",
            "test_oversized.py", "test_aniso.py",
            "test_wholeslide_parity.py", "test_config_parity.py"}
 
+# ASSERTION-granular config attribution (the SPEC's (feature x config x
+# oracle) unit, refining the module-granular default): for modules listed
+# here, each test FUNCTION contributes its features only to the configs of
+# that function.  Functions not listed fall back to the module's configs.
+FUNC_CONFIGS = {
+    "test_config_parity.py": {
+        "test_ibsi_mode_parity": ("ibsi",),
+        "test_radiomics_binning_parity": ("radiomics-bin",),
+        "test_3d_reference_binary_parity": ("default",),
+        "test_hu_mode_parity": ("hu",),
+        "test_3d_aniso_reference_binary_parity": ("aniso",),
+        "test_3d_wholevolume_reference_binary_parity": ("wholeslide",),
+        "test_3d_ibsi_reference_binary_parity": ("ibsi",),
+        "test_3d_hu_reference_binary_parity": ("hu",),
+    },
+    "test_imq.py": {
+        "test_imq_oversized_streamed_parity": ("oversized",),
+        "test_imq_oversized_small_blocks": ("oversized",),
+        "test_imq_config_invariance_and_hu": ("ibsi", "radiomics-bin",
+                                              "hu", "wholeslide"),
+    },
+}
+
 _NICK_RE = re.compile(r'"(\*[A-Z0-9_]+\*)"')
 _NAME_RE = re.compile(r'"([A-Z0-9_]{2,})"')
 _COL_RE = re.compile(r'\.([A-Z0-9_]{2,})\b')  # df.MEAN style access
+_DEF_RE = re.compile(r'^def (test_\w+)', re.M)
 
 
-def names_in_module(path: str, allow_nick: bool):
-    src = open(path).read()
+def _function_chunks(src: str):
+    """[(func_name | None, chunk_text)]: the module prelude (shared FEATS
+    constants etc.) is prepended to every function chunk."""
+    starts = [(m.start(), m.group(1)) for m in _DEF_RE.finditer(src)]
+    if not starts:
+        return [(None, src)]
+    prelude = src[:starts[0][0]]
+    out = []
+    for i, (pos, name) in enumerate(starts):
+        end = starts[i + 1][0] if i + 1 < len(starts) else len(src)
+        out.append((name, prelude + src[pos:end]))
+    return out
+
+
+def names_in_source(src: str, allow_nick: bool):
     found = set()
     tables = (("2D", set(tx.NAME2CODE_2D)), ("3D", set(tx.NAME2CODE_3D)),
               ("IMQ", set(tx.NAME2CODE_IMQ)))
@@ -150,11 +189,21 @@ def build_registry():
             fn, ("unclassified", "mechanics", ()))
         if kind == "mechanics":
             continue
-        for domain, name in sorted(
-                names_in_module(os.path.join(TESTS, fn), fn in NICK_OK)):
-            for config in configs:
-                rows.append((domain, name, config, oracle, kind,
-                             "tests/" + fn))
+        src = open(os.path.join(TESTS, fn)).read()
+        per_func = FUNC_CONFIGS.get(fn)
+        seen = set()
+        for func, chunk in _function_chunks(src):
+            fconfigs = (per_func.get(func, configs) if per_func
+                        else configs)
+            for domain, name in sorted(
+                    names_in_source(chunk, fn in NICK_OK)):
+                for config in fconfigs:
+                    key = (domain, name, config)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    rows.append((domain, name, config, oracle, kind,
+                                 "tests/" + fn))
     return rows
 
 
