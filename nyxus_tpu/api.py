@@ -456,7 +456,17 @@ class Nyxus:
         labmat = (np.ones(intens.shape, np.uint32) if wholeslide
                   else readers.read_gray(lpath).astype(np.uint32))
         I, hu_off = self._prep_intensity(intens)
-        return I, labmat, hu_off
+        # run the NEXT slide's phase-1 discovery here on the prefetch
+        # thread (native, GIL-free) so the main thread's per-slide critical
+        # path starts at the contour pass
+        pre_disc = None
+        if not (self.cfg.mergerois or self.cfg.aniso_customized):
+            try:
+                from .pipeline import labels as labels_mod
+                pre_disc = labels_mod.discover_rois_clouds(I, labmat)
+            except Exception:
+                pre_disc = None
+        return I, labmat, hu_off, pre_disc
 
     def _run_pair_file(self, ipath, lpath, wholeslide, fname,
                        preloaded=None, async_collect=False):
@@ -467,11 +477,12 @@ class Nyxus:
         returned is a finish() callable (see PairRunner._run_core)."""
         from .io import readers
         if preloaded is not None:
-            I, labmat, hu_off = preloaded
+            I, labmat, hu_off, pre_disc = preloaded
             return self._runner.run(I, labmat, blacklist=self._blacklist,
                                     wholeslide=wholeslide, fname=fname,
                                     async_collect=async_collect,
-                                    hu_offset=hu_off)
+                                    hu_offset=hu_off,
+                                    pre_discovery=pre_disc)
         src = self._open_stream_source(ipath, lpath, wholeslide)
         if src is not None:
             if self._stream_gate(src.shape):

@@ -342,17 +342,27 @@ class PairRunner:
 
     def run(self, intens: np.ndarray, label_img: np.ndarray,
             blacklist=None, fname: str = "", wholeslide: bool = False,
-            async_collect: bool = False, hu_offset: float = 0.0):
+            async_collect: bool = False, hu_offset: float = 0.0,
+            pre_discovery=None):
         """In-memory pair. Returns (labels[int], values[N, n_out]) for all
         ROIs, ascending label order. Unassigned features hold -0.0
         (reference: roi_cache.h:17). Blacklisted ROIs keep their row with
-        unassigned values (reference: workflow_2d_segmented.cpp:116-121)."""
+        unassigned values (reference: workflow_2d_segmented.cpp:116-121).
+
+        ``pre_discovery``: optional (recs, smin, smax, clouds) from
+        labels.discover_rois_clouds computed on a prefetch thread (the
+        pipelined file path runs the NEXT slide's discovery while this one
+        computes); ignored under mergerois."""
         from .sources import ArrayPairSource
         if self.cfg.mergerois:
             label_img = (label_img != 0).astype(np.int64)
-        with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
-            all_recs, smin, smax, pre_clouds = \
-                labels.discover_rois_clouds(intens, label_img)
+            pre_discovery = None
+        if pre_discovery is not None:
+            all_recs, smin, smax, pre_clouds = pre_discovery
+        else:
+            with stopwatch("Pipeline/Phase1_discovery/#cca33a"):
+                all_recs, smin, smax, pre_clouds = \
+                    labels.discover_rois_clouds(intens, label_img)
         cloud_src = all_recs
         if wholeslide and len(all_recs) == 1:
             # the reference's virtual whole-slide ROI uses an INCLUSIVE

@@ -412,6 +412,13 @@ class VolumeRunner:
         dispatched = []
         for shape, idxs in sorted(buckets.items()):
             brecs = [recs[i] for i in idxs]
+            # quantize small-cube batch axes (pad rows replicate ROI 0 and
+            # are dropped at scatter time) so executable signatures recur
+            # across volumes -- the 2D runner's compile-reuse treatment
+            if self.mesh is None and max(shape) <= 64:
+                B = len(brecs)
+                bq = max(4, 1 << (B - 1).bit_length())
+                brecs = brecs + [brecs[0]] * (bq - B)
             z0 = jnp.asarray([r.z0 for r in brecs], jnp.int32)
             y0 = jnp.asarray([r.y0 for r in brecs], jnp.int32)
             x0 = jnp.asarray([r.x0 for r in brecs], jnp.int32)
