@@ -65,52 +65,8 @@ def _prefetched(load, n):
         ex.shutdown(wait=False)
 
 
-class ImageQuality:
-    """Image-quality feature extractor (reference: nyxus.py:1468-2188).
-
-    Runs the IMQ family over whole images (a virtual ROI covering every
-    pixel) or per labeled ROI when a label image is supplied."""
-
-    _valid_output_types = list(_VALID_OUTPUT_TYPES)
-
-    def __init__(self, features=("*ALL_IMQ*",), **kwargs):
-        self.features = list(features)
-        cfg = EngineConfig()
-        updates = {k2: v for k, v in kwargs.items()
-                   if (k2 := _KWARG_MAP.get(k)) is not None and v is not None}
-        # the Python API always calibrates: xyRes = pixelSizeUm =
-        # pixels_per_micron (default 1.0; new_bindings_py.cpp:93)
-        updates["xyres"] = float(updates.get("pixels_per_micron", 1.0))
-        self.cfg = cfg.replace(**updates)
-        self.fset = tx.parse_feature_request(self.features, imq=True)
-        self.header, _ = col.build_header(self.fset, self.cfg)
-        self._runner = PairRunner(self.fset, self.cfg)
-
-    def featurize(self, intensity_images: np.ndarray, label_images=None,
-                  intensity_names: list = [], label_names: list = []):
-        if intensity_images.ndim == 2:
-            intensity_images = intensity_images[None]
-            if label_images is not None and label_images.ndim == 2:
-                label_images = label_images[None]
-        n_img = intensity_images.shape[0]
-        if label_images is None:
-            label_images = np.ones_like(intensity_images, np.int32)
-        if not intensity_names:
-            intensity_names = ["Intensity%d" % i for i in range(n_img)]
-        if not label_names:
-            label_names = ["Segmentation%d" % i for i in range(n_img)]
-        I = intensity_images
-        if I.size and I.min() < 0:
-            I = I - I.min()
-        I = I.astype(np.uint32)
-        M = label_images.astype(np.uint32)
-        frames = []
-        for i in range(n_img):
-            labs, values = self._runner.run(I[i], M[i])
-            values = _force_finite(values, self.cfg.noval)
-            frames.append(_frame(self.header, intensity_names[i],
-                                 label_names[i], labs, values))
-        return pd.concat(frames, ignore_index=True)
+# ImageQuality is defined after Nyxus (it reuses its whole file/parameter
+# surface); see below.
 
 
 def _frame(header, int_name, seg_name, labs, values):
@@ -630,6 +586,35 @@ class Nyxus:
                              "together with matching lengths")
         self.cfg = self.cfg.replace(**updates)
         self._compile()
+
+
+class ImageQuality(Nyxus):
+    """Image-quality feature extractor (reference: nyxus.py:1468-2188).
+
+    Runs the IMQ family over whole images (a virtual ROI covering every
+    pixel) or per labeled ROI when a label image is supplied; shares the
+    full file/parameter surface of ``Nyxus`` (featurize_directory,
+    featurize_files, blacklist, set/get_params, ...)."""
+
+    def __init__(self, features=("*ALL_IMQ*",), **kwargs):
+        super().__init__(list(features), **kwargs)
+
+    def _compile(self):
+        self.fset = tx.parse_feature_request(self.features, imq=True)
+        self.header, _ = col.build_header(self.fset, self.cfg)
+        self._runner = PairRunner(self.fset, self.cfg, mesh=self._mesh())
+
+    def featurize(self, intensity_images: np.ndarray, label_images=None,
+                  intensity_names: list = [], label_names: list = [],
+                  output_type: str = "pandas", output_path: str = ""):
+        # whole-image quality: a constant-1 label image per slide
+        # (reference: nyxus.py ImageQuality.featurize label default)
+        if label_images is None:
+            label_images = np.ones(np.asarray(intensity_images).shape,
+                                   np.int32)
+        return super().featurize(intensity_images, label_images,
+                                 intensity_names, label_names,
+                                 output_type, output_path)
 
 
 class Nyxus3D:

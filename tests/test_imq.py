@@ -123,3 +123,42 @@ def test_imq_config_invariance_and_hu():
     exp = ImageQuality(precision="f64").featurize(shifted)
     for c in cols:
         np.testing.assert_allclose(got[c], exp[c], rtol=1e-12, err_msg=c)
+
+
+def test_imagequality_file_surface(tmp_path):
+    """ImageQuality now carries the full Nyxus file surface (reference:
+    nyxus.py ImageQuality.featurize_directory/featurize_files): a
+    directory run without masks = whole-image quality per slide."""
+    from nyxus_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from nyxus_tpu.api import ImageQuality
+    r = np.random.default_rng(3)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    imgs = {}
+    for k in range(2):
+        img = r.integers(1, 2000, (64, 80)).astype(np.uint16)
+        native.write_tiff(str(d / ("a%d.tif" % k)), img, tile_size=64)
+        imgs["a%d.tif" % k] = img
+    iq = ImageQuality(precision="f64")
+    df = iq.featurize_directory(str(d), None)
+    assert len(df) == 2
+    import os
+    for _, row in df.iterrows():
+        img = imgs[os.path.basename(row.intensity_image)]
+        # whole-slide virtual ROI: the reference's INCLUSIVE one-past AABB
+        # (aabb.h:53-59) pads one empty row+col into the frame, so the
+        # frame min is 0 and the counts divide by (H+1)*(W+1)
+        H, W = img.shape
+        frame = np.zeros((H + 1, W + 1))
+        frame[:H, :W] = img
+        assert row.MIN_SATURATION == \
+            (frame == frame.min()).sum() / frame.size
+        assert row.MAX_SATURATION == \
+            (frame == frame.max()).sum() / frame.size
+    # explicit file lists + params surface
+    files = [str(d / "a0.tif"), str(d / "a1.tif")]
+    df2 = iq.featurize_files(files, None, single_roi=True)
+    assert len(df2) == 2
+    assert iq.get_params()["features"] == ["*ALL_IMQ*"]
