@@ -787,8 +787,9 @@ class Nyxus3D:
         return frames
 
     def _featurize_volume_pair(self, ipath, lpath, single_roi=False):
-        """One volume pair; per-time-frame loop mirrors
-        workflow_3d_segmented.cpp:203-206 (t_index column)."""
+        """One volume pair, loaded and featurized strictly serially --
+        kept as the no-prefetch baseline the pipelined-vs-serial parity
+        test compares against (tests/test_stream_sources.py)."""
         from .io import readers
         ivol, imeta = readers.read_volume(ipath, with_meta=True)
         if single_roi:

@@ -357,7 +357,8 @@ class DicomTiledReader:
                              (16, 0): np.uint16, (16, 1): np.int16,
                              (32, 0): np.uint32, (32, 1): np.int32}[
             (meta["bits"], meta["signed"])])
-        self._cache = {}           # tiny LRU of decoded frames
+        from collections import OrderedDict
+        self._cache = OrderedDict()     # LRU of decoded frames
 
     def _fragment_table(self, s: _Stream):
         """[(offset, length)] of encapsulated frame fragments."""
@@ -379,6 +380,7 @@ class DicomTiledReader:
 
     def _frame(self, k: int) -> np.ndarray:
         if k in self._cache:
+            self._cache.move_to_end(k)
             return self._cache[k]
         npx = self.tile_h * self.tile_w
         if self._frames is None:
@@ -399,17 +401,23 @@ class DicomTiledReader:
             arr = (hu.astype(np.int32)
                    if float(sl).is_integer() and float(ic).is_integer()
                    else hu)
-        if len(self._cache) > 16:
-            self._cache.clear()
+        # bounded LRU: evict the least-recently-used frame (a 2048-wide
+        # region touches 64+ tiles; clearing everything thrashed decodes)
+        while len(self._cache) >= 64:
+            self._cache.popitem(last=False)
         self._cache[k] = arr
         return arr
 
     def read_region(self, y0: int, x0: int, h: int, w: int) -> np.ndarray:
-        out_dt = (np.float64 if self.meta["slope"] is not None
-                  and not float(self.meta["slope"]).is_integer()
-                  else (np.int32 if self.meta["slope"] is not None
-                        or self.meta["intercept"] is not None
-                        else self._dt))
+        m = self.meta
+        has_rescale = m["slope"] is not None or m["intercept"] is not None
+        sl = 1.0 if m["slope"] is None else float(m["slope"])
+        ic = 0.0 if m["intercept"] is None else float(m["intercept"])
+        # mirror _frame's cast rule: int32 only when BOTH slope and
+        # intercept are integral, else keep the float rescale exact
+        out_dt = (self._dt if not has_rescale
+                  else (np.int32 if sl.is_integer() and ic.is_integer()
+                        else np.float64))
         out = np.zeros((h, w), out_dt)
         y1 = min(y0 + h, self.height)
         x1 = min(x0 + w, self.width)

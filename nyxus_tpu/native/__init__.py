@@ -517,14 +517,16 @@ _DISCOVER_DTYPES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
                     np.dtype(np.int64): 6}
 
 
-def _labels_i32(labels_img):
+def _labels_i32(labels_img, validated=False):
     """Contiguous int32 view of a label image; raises instead of silently
     wrapping labels >= 2**31 negative (uint32/uint64 label schemes --
-    callers fall back to the numpy paths, pipeline.labels)."""
+    callers fall back to the numpy paths, pipeline.labels).  Callers that
+    already ran pipeline.labels._native_labels_ok pass ``validated`` to
+    skip the (full-image max) re-check."""
     labels_img = np.asarray(labels_img)
-    if (labels_img.dtype == np.uint32
-            or (labels_img.dtype.kind in "iu"
-                and labels_img.dtype.itemsize > 4)) \
+    if not validated and (labels_img.dtype == np.uint32
+                          or (labels_img.dtype.kind in "iu"
+                              and labels_img.dtype.itemsize > 4)) \
             and labels_img.size and int(labels_img.max()) >= 2 ** 31:
         raise ValueError("labels exceed int32 range; the native scan "
                          "cannot represent them (use the numpy fallback)")
@@ -532,7 +534,8 @@ def _labels_i32(labels_img):
 _discover_lock = threading.Lock()
 
 
-def discover(labels_img, intens, want_clouds=False):
+def discover(labels_img, intens, want_clouds=False,
+             labels_validated=False):
     """One-pass label discovery (+ optional raster-order cloud assembly).
 
     labels_img: [H, W] int-like; intens: [H, W] numeric (same shape).
@@ -543,7 +546,7 @@ def discover(labels_img, intens, want_clouds=False):
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable: %r" % _build_err)
-    labels_img = _labels_i32(labels_img)
+    labels_img = _labels_i32(labels_img, validated=labels_validated)
     intens = np.ascontiguousarray(intens)
     if intens.dtype not in _DISCOVER_DTYPES:
         intens = np.ascontiguousarray(intens, np.float64)

@@ -50,9 +50,16 @@ void format_row(const char* prefix, const double* row, int64_t ncols,
         } else if (shortest) {
             // full-precision mode: shortest exact round-trip repr
             // (std::to_chars, ~8x faster than snprintf "%.17g" and never
-            // loses a bit)
+            // loses a bit).  Floating-point to_chars needs libstdc++ from
+            // GCC 11+; older toolchains fall back to %.17g so the whole
+            // native library still builds.
+#if defined(__cpp_lib_to_chars) && __cpp_lib_to_chars >= 201611L
             auto r = std::to_chars(buf, buf + sizeof buf, v);
             out.append(buf, (size_t)(r.ptr - buf));
+#else
+            int n = std::snprintf(buf, sizeof buf, "%.17g", v);
+            out.append(buf, (size_t)n);
+#endif
         } else {
             int n = std::snprintf(buf, sizeof buf, fmt, v);
             out.append(buf, (size_t)n);

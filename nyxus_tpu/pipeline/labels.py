@@ -94,8 +94,8 @@ def discover_rois_clouds(intens: np.ndarray, labels: np.ndarray):
     Returns (records, slide_min, slide_max, clouds)."""
     from .. import native
     if native.available() and _native_labels_ok(labels):
-        rm, fmm, smin, smax, clouds = native.discover(labels, intens,
-                                                      want_clouds=True)
+        rm, fmm, smin, smax, clouds = native.discover(
+            labels, intens, want_clouds=True, labels_validated=True)
         recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
                           int(r[4]), int(r[5]), float(fmm[i, 0]),
                           float(fmm[i, 1])) for i, r in enumerate(rm)]
@@ -112,7 +112,8 @@ def discover_rois(intens: np.ndarray, labels: np.ndarray):
     slide_max) with records sorted by ascending label."""
     from .. import native
     if native.available() and _native_labels_ok(labels):
-        rm, fmm, smin, smax, _ = native.discover(labels, intens)
+        rm, fmm, smin, smax, _ = native.discover(labels, intens,
+                                                 labels_validated=True)
         recs = [RoiRecord(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
                           int(r[4]), int(r[5]), float(fmm[i, 0]),
                           float(fmm[i, 1])) for i, r in enumerate(rm)]
@@ -191,7 +192,8 @@ def discover_rois_streamed(source, tile: int = 2048):
             tw = min(tile, W - tx)
             ii, ll = source.read_pair(ty, tx, th, tw)
             if use_native and _native_labels_ok(ll):
-                rm, fmm, tmin, tmax, _ = native.discover(ll, ii)
+                rm, fmm, tmin, tmax, _ = native.discover(
+                    ll, ii, labels_validated=True)
                 if not len(rm):
                     continue
                 smin = min(smin, tmin)

@@ -98,9 +98,9 @@ def _extract_bucket_packed(intens, mask, area, vmin, vmax, y0, x0, heights,
 
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
-                                             "layout_key", "sizes"))
+                                             "layout_key"))
 def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
-                         layout_key=None, sizes=None):
+                         layout_key=None):
     """Run all feature families over EVERY bucket of a pair in ONE device
     dispatch, returning one concatenated [sum(B_real), total_width] array.
 
@@ -115,8 +115,9 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
     the compute dtype, identical IEEE rounding to the host cast); cm may be
     bit-packed uint8 [B,h,ceil(w/8)] (np.packbits big-endian); lw may be
     raw integer squared contour distances (log(sqrt(d2)+eps) taken here).
-    ``sizes`` are the per-bucket REAL row counts: quantization pad rows are
-    dropped on device so they never cross the wire back."""
+    Quantization pad rows stay in the output (static-shape requirement:
+    making the real row count static would compile per distinct ROI count);
+    collection slices them off host-side."""
     outs = []
     for j, (ci, cm, meta_i, meta_f, lw) in enumerate(bucket_args):
         dt = meta_f.dtype
@@ -150,11 +151,8 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
         prev = _BUCKET_LAYOUTS.setdefault(layout_key, layout)
         assert prev == layout, \
             "bucket layout collision for key %r" % (layout_key,)
-        packed = (jnp.concatenate(parts, axis=1) if parts
-                  else jnp.zeros((ci.shape[0], 0), dt))
-        if sizes is not None and sizes[j] < packed.shape[0]:
-            packed = packed[:sizes[j]]
-        outs.append(packed)
+        outs.append(jnp.concatenate(parts, axis=1) if parts
+                    else jnp.zeros((ci.shape[0], 0), dt))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
@@ -503,7 +501,8 @@ class PairRunner:
                     contours.append(np.array(
                         [[0, 0, vx], [xr, 0, vx], [xr, yb, vx], [0, yb, vx]],
                         np.int64))
-            elif resident is not None and native.available():
+            elif resident is not None and native.available() \
+                    and labels._native_labels_ok(resident[1]):
                 # all ROIs traced in one threaded native call
                 triv = [i for i in range(len(recs)) if i not in over_set]
                 traced = native.contours_batch(resident[1], resident[0],
@@ -696,6 +695,15 @@ class PairRunner:
             if pad_b:
                 lw_h[B:] = lw_h[0]
             return lw_h
+
+        if fut_logw is not None and resident is None:
+            # streamed slides: the logw worker reads regions through the
+            # shared crop_cache the batch loop below also populates/pops --
+            # join here so cache access stays single-threaded (resident
+            # slides keep the overlap; their cloud build never touches
+            # the cache)
+            fut_logw.result()
+            fut_logw = None
 
         pending = []        # mesh path: (idxs, lkey, out)
         fused = []          # single-dispatch path: (idxs, device bucket args)
