@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Big-slide STREAMED benchmark: the machinery bench.py's 1024^2 corpus
+never engages (tile-streamed discovery, region-read crops, phase-3
+oversized accumulation) measured end-to-end on a 3072x3072 tiled OME-TIFF
+pair that is forced through the RAM gate.
+
+Two sections:
+1. dense nuclei (2k ROIs) on the streamed source -- trivial ROIs whose
+   crops come from native region reads;
+2. one giant ROI (~2.8 Mpix) -- the streamed phase-3 path across every
+   family in `*ALL*`.
+
+Writes STREAMED_BENCH.json at the repo root.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import numpy as np  # noqa: E402
+
+
+def make_big(h=3072, w=3072, seed=9):
+    r = np.random.default_rng(seed)
+    intens = r.integers(1, 40000, (h, w)).astype(np.uint16)
+    labels = np.zeros((h, w), np.uint16)
+    lab = 1
+    for y in range(20, h - 40, 64):
+        for x in range(20, w - 40, 64):
+            if lab > 2000:
+                break
+            labels[y:y + 22, x:x + 26] = lab
+            lab += 1
+    # giant ROI in the free band at the bottom
+    yy, xx = np.mgrid[0:h, 0:w]
+    blob = (((yy - (h - 500)) / 420.0) ** 2
+            + ((xx - (w // 2)) / 1200.0) ** 2) <= 1.0
+    blob &= labels == 0
+    labels[blob] = 60000
+    return intens, labels, lab - 1
+
+
+def main():
+    from nyxus_tpu import Nyxus, native
+
+    intens, labels, n_small = make_big()
+    d = tempfile.mkdtemp(prefix="nyx_streambench_")
+    ip = os.path.join(d, "i.ome.tif")
+    lp = os.path.join(d, "s.ome.tif")
+    native.write_tiff(ip, intens, tile_size=512)
+    native.write_tiff(lp, labels, tile_size=512)
+
+    # ram_limit forces the streamed source AND routes the giant ROI
+    # (841x2401 AABB = 32 MB footprint) through phase 3; the small ROIs
+    # stay trivial under a 16 MB budget
+    nyx = Nyxus(["*ALL*"], ram_limit=16)
+    t0 = time.perf_counter()
+    df = nyx.featurize_files([ip], [lp])
+    wall = time.perf_counter() - t0
+    # warm second run (first includes any uncached bucket compiles)
+    t0 = time.perf_counter()
+    df = nyx.featurize_files([ip], [lp])
+    wall_warm = time.perf_counter() - t0
+
+    giant = df[df.ROI_label == 60000].iloc[0]
+    assert len(df) == n_small + 1, (len(df), n_small)
+    assert np.isfinite(giant.MEAN) and giant.AREA_PIXELS_COUNT > 1e6
+    out = {
+        "slide": "3072x3072 tiled-LZW OME-TIFF, streamed (ram_limit=16MB)",
+        "rois": int(len(df)),
+        "giant_roi_pixels": int(giant.AREA_PIXELS_COUNT),
+        "wall_s_first": round(wall, 2),
+        "wall_s_warm": round(wall_warm, 2),
+        "rois_per_sec_warm": round(len(df) / wall_warm, 1),
+        "mpix_per_sec_warm": round(intens.size / 1e6 / wall_warm, 2),
+    }
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(ROOT, "STREAMED_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote STREAMED_BENCH.json")
+
+
+if __name__ == "__main__":
+    main()
