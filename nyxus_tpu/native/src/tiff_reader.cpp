@@ -19,7 +19,9 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <list>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -32,7 +34,17 @@ struct TiffHandle {
     uint16_t bits = 0;
     uint16_t sample_format = SAMPLEFORMAT_UINT;
     uint16_t spp = 1;
-    std::vector<uint8_t> scratch;      // one decoded tile/strip
+    // bounded LRU of decoded blocks: streamed pipelines read many small
+    // per-ROI regions that land in the same LZW tiles; without this every
+    // region re-decodes its covering tiles (measured ~100x redundancy on
+    // a dense streamed slide).  ~32 MB keeps a 6x6 grid of 512^2 u16
+    // tiles hot.
+    static constexpr size_t kCacheCapBytes = 32u << 20;
+    std::list<std::pair<uint64_t, std::vector<uint8_t>>> lru;
+    std::unordered_map<uint64_t,
+        std::list<std::pair<uint64_t, std::vector<uint8_t>>>::iterator>
+        lru_idx;
+    size_t lru_bytes = 0;
 };
 
 // Convert one row-segment of raw samples to float32 / uint32.
@@ -78,31 +90,52 @@ bool convert_dispatch(const TiffHandle* h, const uint8_t* src, DstT* dst,
     return false;
 }
 
-// Decode the tile/strip containing (ty, tx) into h->scratch and report its
-// top-left origin + dimensions.
-bool load_block(TiffHandle* h, uint32_t y, uint32_t x, uint32_t* by,
-                uint32_t* bx, uint32_t* bh, uint32_t* bw) {
+// Decode (or fetch from the LRU) the tile/strip containing (y, x); report
+// its top-left origin + dimensions and return a pointer to the decoded
+// bytes (owned by the cache; valid until the next load_block call that
+// evicts it -- callers consume it immediately).
+const uint8_t* load_block(TiffHandle* h, uint32_t y, uint32_t x, uint32_t* by,
+                          uint32_t* bx, uint32_t* bh, uint32_t* bw) {
+    uint64_t key;
+    tmsize_t sz;
     if (h->tiled) {
-        tmsize_t sz = TIFFTileSize(h->tif);
-        if (h->scratch.size() < (size_t)sz) h->scratch.resize(sz);
-        if (TIFFReadTile(h->tif, h->scratch.data(), x, y, 0, 0) < 0)
-            return false;
         *by = (y / h->tile_h) * h->tile_h;
         *bx = (x / h->tile_w) * h->tile_w;
         *bh = h->tile_h;
         *bw = h->tile_w;
+        key = ((uint64_t)(*by / h->tile_h) << 32) | (*bx / h->tile_w);
+        sz = TIFFTileSize(h->tif);
     } else {
-        tmsize_t sz = TIFFStripSize(h->tif);
-        if (h->scratch.size() < (size_t)sz) h->scratch.resize(sz);
         uint32_t strip = y / h->tile_h;
-        if (TIFFReadEncodedStrip(h->tif, strip, h->scratch.data(), sz) < 0)
-            return false;
         *by = strip * h->tile_h;
         *bx = 0;
         *bh = std::min<uint32_t>(h->tile_h, h->height - *by);
         *bw = h->width;
+        key = strip;
+        sz = TIFFStripSize(h->tif);
     }
-    return true;
+    auto it = h->lru_idx.find(key);
+    if (it != h->lru_idx.end()) {
+        h->lru.splice(h->lru.begin(), h->lru, it->second);
+        return it->second->second.data();
+    }
+    std::vector<uint8_t> buf((size_t)sz);
+    if (h->tiled) {
+        if (TIFFReadTile(h->tif, buf.data(), x, y, 0, 0) < 0) return nullptr;
+    } else {
+        uint32_t strip = y / h->tile_h;
+        if (TIFFReadEncodedStrip(h->tif, strip, buf.data(), sz) < 0)
+            return nullptr;
+    }
+    h->lru_bytes += buf.size();
+    h->lru.emplace_front(key, std::move(buf));
+    h->lru_idx[key] = h->lru.begin();
+    while (h->lru_bytes > TiffHandle::kCacheCapBytes && h->lru.size() > 1) {
+        h->lru_bytes -= h->lru.back().second.size();
+        h->lru_idx.erase(h->lru.back().first);
+        h->lru.pop_back();
+    }
+    return h->lru.begin()->second.data();
 }
 
 template <typename DstT>
@@ -117,12 +150,13 @@ int read_region_impl(TiffHandle* h, uint32_t y0, uint32_t x0, uint32_t rh,
     for (uint32_t by = (y0 / step_y) * step_y; by < y1; by += step_y) {
         for (uint32_t bx = (x0 / step_x) * step_x; bx < x1; bx += step_x) {
             uint32_t oy, ox, bh, bw;
-            if (!load_block(h, by, bx, &oy, &ox, &bh, &bw)) return -2;
+            const uint8_t* block = load_block(h, by, bx, &oy, &ox, &bh, &bw);
+            if (!block) return -2;
             uint32_t cy0 = std::max(y0, oy), cy1 = std::min(y1, oy + bh);
             uint32_t cx0 = std::max(x0, ox), cx1 = std::min(x1, ox + bw);
             if (cy0 >= cy1 || cx0 >= cx1) continue;
             for (uint32_t yy = cy0; yy < cy1; yy++) {
-                const uint8_t* src = h->scratch.data() +
+                const uint8_t* src = block +
                     ((size_t)(yy - oy) * bw + (cx0 - ox)) * samp_bytes * h->spp;
                 DstT* dst = out + (size_t)(yy - y0) * rw + (cx0 - x0);
                 if (!convert_dispatch<DstT>(h, src, dst, cx1 - cx0)) return -3;
@@ -213,14 +247,15 @@ int nyxtiff_prescan(void* vh, double* minv, double* maxv, int64_t* nonzero) {
     for (uint32_t by = 0; by < h->height; by += step_y) {
         for (uint32_t bx = 0; bx < h->width; bx += step_x) {
             uint32_t oy, ox, bh, bw;
-            if (!load_block(h, by, bx, &oy, &ox, &bh, &bw)) return -2;
+            const uint8_t* block = load_block(h, by, bx, &oy, &ox, &bh, &bw);
+            if (!block) return -2;
             uint32_t vh_ = std::min<uint32_t>(bh, h->height - oy);
             uint32_t vw = std::min<uint32_t>(bw, h->width - ox);
             buf.resize((size_t)vw);
             size_t samp_bytes = h->bits / 8;
             for (uint32_t yy = 0; yy < vh_; yy++) {
                 const uint8_t* src =
-                    h->scratch.data() + (size_t)yy * bw * samp_bytes * h->spp;
+                    block + (size_t)yy * bw * samp_bytes * h->spp;
                 if (!convert_dispatch<double>(h, src, buf.data(), vw))
                     return -3;
                 for (uint32_t xx = 0; xx < vw; xx++) {
