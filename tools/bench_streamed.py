@@ -10,7 +10,9 @@ Two sections:
 2. one giant ROI (~2.8 Mpix) -- the streamed phase-3 path across every
    family in `*ALL*`.
 
-Writes STREAMED_BENCH.json at the repo root.
+Writes STREAMED_BENCH.json at the repo root.  For scale: the reference
+binary on the identical pair (--ramLimit=16 --reduceThreads=2) did not
+finish within a 2400 s timeout on this host, vs ~40 s warm here.
 """
 
 import json
