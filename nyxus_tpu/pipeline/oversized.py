@@ -47,7 +47,7 @@ def is_oversized(rec, budget_bytes: int, bytes_per_px: int = 16) -> bool:
 
 class OversizedAccums:
     __slots__ = ("vals", "cnts", "exact", "S_shape", "S_int", "area",
-                 "vmin", "vmax")
+                 "vmin", "vmax", "S_wshape", "S_wint")
 
     def __init__(self):
         self.vals = np.zeros(0, np.float64)   # unique intensities (sorted)
@@ -58,6 +58,11 @@ class OversizedAccums:
         self.area = 0
         self.vmin = np.inf
         self.vmax = -np.inf
+        # distance-to-contour weighted sums (reference weighted moments,
+        # 2d_geomoments.h:113-261): w = log(sqrt(min_d2) + eps) per pixel;
+        # None until a streamed contour is supplied to ``accumulate``
+        self.S_wshape = None    # sum w x^p y^q
+        self.S_wint = None      # sum I w x^p y^q
 
 
 def _merge_hist(acc: OversizedAccums, bu: np.ndarray, bc: np.ndarray):
@@ -82,10 +87,26 @@ def _to_binned(acc: OversizedAccums, vmin: float, vmax: float):
     acc.vals, acc.cnts, acc.exact = centers[keep], cnts[keep], False
 
 
-def accumulate(rec, source, block: int = 2048) -> OversizedAccums:
-    """One streamed pass over the ROI's AABB."""
+def accumulate(rec, source, block: int = 2048,
+               contour=None) -> OversizedAccums:
+    """One streamed pass over the ROI's AABB.
+
+    ``contour``: optional [K, 3] int64 merged streamed contour in +1-shifted
+    local coordinates (pipeline/contour.py oversized_contour).  When present
+    the distance-to-contour WEIGHTED moment sums are accumulated too, using
+    the reference's approximate ordered-contour distance search
+    (2d_geomoments.h:113-261, pixel.cpp:36-71) -- same convention as the
+    trivial path's logw plane (runner.py)."""
     acc = OversizedAccums()
     p4 = np.arange(4, dtype=np.float64)
+    ccx = ccy = None
+    if contour is not None and len(contour):
+        from ..ops.moments import WEIGHTING_EPSILON
+        from .. import native
+        ccx = np.ascontiguousarray(contour[:, 0], np.float64)
+        ccy = np.ascontiguousarray(contour[:, 1], np.float64)
+        acc.S_wshape = np.zeros((4, 4), np.float64)
+        acc.S_wint = np.zeros((4, 4), np.float64)
     for by in range(rec.y0, rec.y1 + 1, block):
         bh = min(block, rec.y1 + 1 - by)
         for bx in range(rec.x0, rec.x1 + 1, block):
@@ -112,6 +133,15 @@ def accumulate(rec, source, block: int = 2048) -> OversizedAccums:
             # S[p, q] += sum_y sum_x w[y,x] x^p y^q
             acc.S_shape += (Y @ Ms @ X.T).T
             acc.S_int += (Y @ Mi @ X.T).T
+            if ccx is not None:
+                ys_b, xs_b = np.nonzero(m)
+                mind2, _ = native.contour_sqdist_approx(
+                    (xs_b + (bx - rec.x0)).astype(np.float64),
+                    (ys_b + (by - rec.y0)).astype(np.float64), ccx, ccy)
+                lw = np.zeros((bh, bw))
+                lw[ys_b, xs_b] = np.log(np.sqrt(mind2) + WEIGHTING_EPSILON)
+                acc.S_wshape += (Y @ lw @ X.T).T
+                acc.S_wint += (Y @ (lw * Mi) @ X.T).T
     return acc
 
 
@@ -211,9 +241,43 @@ def _central_from_raw(S: np.ndarray):
     return C, ox, oy
 
 
+def _central_any_sign(S: np.ndarray):
+    """C[p][q] via the binomial shift identity about the (possibly
+    negative-mass) centroid S10/S00, S01/S00 -- weighted sums can carry
+    negative total mass (log weights)."""
+    m00 = S[0, 0]
+    if m00 == 0:
+        ox = oy = 0.0
+    else:
+        ox, oy = S[1, 0] / m00, S[0, 1] / m00
+    C = np.zeros((4, 4))
+    for p in range(4):
+        for q in range(4):
+            v = 0.0
+            for i in range(p + 1):
+                for j in range(q + 1):
+                    v += (math.comb(p, i) * math.comb(q, j) *
+                          (-ox) ** (p - i) * (-oy) ** (q - j) * S[i, j])
+            C[p, q] = v
+    return C
+
+
+def _signed_pow_np(base: float, k: float) -> float:
+    """std::pow semantics (mirrors ops/moments._signed_pow): negative base
+    with non-integer exponent -> NaN."""
+    if base < 0 and k != float(int(k)):
+        return float("nan")
+    ab = abs(base) ** k
+    if base < 0 and int(k) % 2 == 1:
+        return -ab
+    return ab
+
+
 def moments_members(acc: OversizedAccums):
-    """IMOM_*/SMOM_* (raw/central/normalized/Hu) from streamed sums; the
-    distance-to-contour weighted members stay unassigned."""
+    """IMOM_*/SMOM_* (raw/central/normalized/Hu) from streamed sums,
+    including the distance-to-contour weighted variants when ``accumulate``
+    ran with a contour (2d_geomoments_basic_nt.cpp streams these for
+    nontrivial ROIs in the reference)."""
     from ..ops import moments as mm
 
     out = {}
@@ -237,6 +301,24 @@ def moments_members(acc: OversizedAccums):
         hu = mm._hu({k: np.asarray([v]) for k, v in nu.items()})
         for i in range(7):
             out["%s_HU%d" % (prefix, i + 1)] = float(np.asarray(hu[i])[0])
+
+    # weighted variants (w = log(dist_to_contour + eps))
+    if acc.S_wint is None:
+        return out
+    for prefix, WS in (("IMOM", acc.S_wint), ("SMOM", acc.S_wshape)):
+        wm00 = WS[0, 0]
+        for p, q in mm.W_RAW_PQ:
+            out["%s_WRM_%d%d" % (prefix, p, q)] = WS[p, q]
+        WC = _central_any_sign(WS)
+        wnu = {}
+        for p, q in mm.W_CENTRAL_PQ:
+            out["%s_WCM_%d%d" % (prefix, p, q)] = WC[p, q]
+            k = (p + q) / 2.0 + 1.0
+            wnu[(p, q)] = WC[p, q] / _signed_pow_np(wm00, k)
+            out["%s_WNCM_%d%d" % (prefix, p, q)] = wnu[(p, q)]
+        whu = mm._hu({k: np.asarray([v]) for k, v in wnu.items()})
+        for i in range(7):
+            out["%s_WHU%d" % (prefix, i + 1)] = float(np.asarray(whu[i])[0])
     return out
 
 
@@ -588,7 +670,9 @@ def process(rec, source, cfg, families, slide_min, slide_max,
     want = [f for f in families if f in STREAMABLE]
     if not want:
         return {}
-    acc = accumulate(rec, source, block)
+    want_moments = ("Imoms2D_feature" in want) or ("Smoms2D_feature" in want)
+    acc = accumulate(rec, source, block,
+                     contour=contour if want_moments else None)
     if acc.area == 0:
         return {}
     out = texture_members(rec, source, cfg,
@@ -663,7 +747,9 @@ def process(rec, source, cfg, families, slide_min, slide_max,
                     if not k.startswith("SMOM"):
                         continue
                     tag = k[len("SMOM_"):]
-                    if tag.startswith("HU"):
+                    if tag.startswith("WHU"):
+                        renamed["WEIGHTED_HU_M" + tag[3:]] = v
+                    elif tag.startswith("HU"):
                         renamed["HU_M" + tag[2:]] = v
                     else:
                         kind, pq = tag.rsplit("_", 1)
