@@ -35,6 +35,13 @@ class Roi3D:
     # fed-cloud voxel count when it differs from the physical aux area
     # (3D anisotropy: the virtual member count)
     cloud_area: int = None
+    # texture grey-binning range override (whole-volume mode: the vROI's
+    # aux_min/aux_max are 0 and slide_max - slide_min -- the Hounsfield-style
+    # offset of featurize_wholevolume, workflow_3d_whole.cpp:102-106 -- while
+    # the cube keeps RAW intensities, so binned levels can exceed the nominal
+    # grey depth).  None -> bin with the cloud's vmin/vmax (segmented mode)
+    bin_min: float = None
+    bin_max: float = None
 
     @property
     def depth(self):
@@ -100,7 +107,8 @@ def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
 
 class Ctx3D:
     def __init__(self, intens, mask, area, vmin, vmax, dd, hh, ww, cfg,
-                 static_meta=(), slide_range=None, cloud_area=None):
+                 static_meta=(), slide_range=None, cloud_area=None,
+                 bvmin=None, bvmax=None):
         # slide intensity range (max - min over the volume's masked voxels):
         # COVERED_IMAGE_INTENSITY_RANGE divides the ROI range by it
         # (3d_intensity.cpp:57-65 uses the slide's pre-ROI extrema)
@@ -115,6 +123,10 @@ class Ctx3D:
         self.cloud_area = area if cloud_area is None else cloud_area
         self.vmin = vmin
         self.vmax = vmax
+        # texture grey-binning range (the reference's aux_min/aux_max; equal
+        # to the cloud extrema except in whole-volume mode)
+        self.bvmin = vmin if bvmin is None else bvmin
+        self.bvmax = vmax if bvmax is None else bvmax
         self.depths = dd
         self.heights = hh
         self.widths = ww
@@ -142,8 +154,8 @@ class Ctx3D:
 
     def levels(self, greyinfo):
         return self.cached(("lev", greyinfo), lambda: quant.bin_levels(
-            self.masked_intens, self.vmin[:, None, None, None],
-            self.vmax[:, None, None, None], greyinfo))
+            self.masked_intens, self.bvmin[:, None, None, None],
+            self.bvmax[:, None, None, None], greyinfo))
 
 
 def _grey(ctx, cfg, family=None):
@@ -170,8 +182,8 @@ def _f_glcm(ctx, cfg):
     gi, ng = _grey(ctx, cfg, "glcm")
     # in IBSI mode Ng for the IDN/IDMN normalizations is each ROI's own max
     # intensity, not the (padded) static matrix size
-    ng_val = ctx.vmax if gi == 0 else None
-    return t3.glcm3d_all(ctx.levels(gi), ctx.aabb, ctx.vmin, ctx.vmax,
+    ng_val = ctx.bvmax if gi == 0 else None
+    return t3.glcm3d_all(ctx.levels(gi), ctx.aabb, ctx.bvmin, ctx.bvmax,
                          cfg.glcm3_offset, ng, gi == 0, gi, cfg.noval,
                          ctx.intens.dtype, ng_val)
 
@@ -183,7 +195,7 @@ def _f_glrlm(ctx, cfg):
     # Np = fed-cloud voxel count (3d_glrlm.cpp:196 raw_pixels_3D.size())
     n_pixels = ctx.cloud_area
     nr = max(ctx.intens.shape[1:])
-    return t3.glrlm3d_all(lev, valid, n_pixels, ctx.vmin, ctx.vmax, ng, nr,
+    return t3.glrlm3d_all(lev, valid, n_pixels, ctx.bvmin, ctx.bvmax, ng, nr,
                           cfg.noval, ctx.intens.dtype)
 
 
@@ -195,7 +207,7 @@ def _f_glszm(ctx, cfg):
     # Np = fed-cloud voxel count (3d_glszm.cpp:529 raw_pixels_3D.size())
     np_pixels = ctx.cloud_area
     return t3.glszm3d_all(jnp.where(valid, lev, -1), valid, np_pixels,
-                          ctx.vmin, ctx.vmax, cfg.noval, ctx.intens.dtype)
+                          ctx.bvmin, ctx.bvmax, cfg.noval, ctx.intens.dtype)
 
 
 def _f_gldzm(ctx, cfg):
@@ -205,7 +217,7 @@ def _f_gldzm(ctx, cfg):
     # GLDZM's Np stays the PHYSICAL aux_area even under anisotropy
     # (3d_gldzm.cpp:547 calc_features(..., r.aux_area))
     return t3.gldzm3d_all(jnp.where(ctx.aabb, lev, 0), valid, ctx.heights,
-                          ctx.widths, ctx.area, ctx.vmin, ctx.vmax,
+                          ctx.widths, ctx.area, ctx.bvmin, ctx.bvmax,
                           cfg.noval, ctx.intens.dtype)
 
 
@@ -214,7 +226,7 @@ def _f_gldm(ctx, cfg):
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     return t3.gldm3d_all(jnp.where(ctx.aabb, lev, -9), ctx.aabb, zero_i, ng,
-                         ctx.vmin, ctx.vmax, cfg.noval, ctx.intens.dtype)
+                         ctx.bvmin, ctx.bvmax, cfg.noval, ctx.intens.dtype)
 
 
 def _f_ngldm(ctx, cfg):
@@ -228,10 +240,14 @@ def _f_ngldm(ctx, cfg):
                 (ys >= 1) & (ys < ctx.heights[:, None, None, None] - 1) &
                 (xs >= 1) & (xs < ctx.widths[:, None, None, None] - 1))
     n_levels = 0 if cfg.ibsi else cfg.coarse_gray_depth
-    nmax = ng if not cfg.ibsi else int(ctx.static_meta.get("max_int", 256))
+    # to_grayscale is UNCLAMPED (helpers.h:337): when the binning range
+    # (aux_max) is below the cloud max -- whole-volume mode -- levels exceed
+    # the nominal grey depth; "ngldm_nmax" carries the host-computed ceiling
+    nmax = (int(ctx.static_meta.get("max_int", 256)) if cfg.ibsi
+            else int(ctx.static_meta.get("ngldm_nmax", ng)))
     return t3.ngldm3d_all(ctx.masked_intens,
                           {"interior": interior, "inbounds": aabb},
-                          ctx.vmax, n_levels, nmax, cfg.ibsi, ctx.vmin,
+                          ctx.bvmax, n_levels, nmax, cfg.ibsi, ctx.bvmin,
                           cfg.noval, ctx.intens.dtype)
 
 
@@ -249,8 +265,8 @@ def _f_ngtdm(ctx, cfg):
     lev = ctx.levels(gi)
     zero_i = 1 if gi > 0 else 0
     return t3.ngtdm3d_all(jnp.where(ctx.aabb, lev, 0), ctx.aabb, zero_i, ng,
-                          cfg.d3_ngtdm_radius, ctx.vmin, ctx.vmax, cfg.noval,
-                          ctx.intens.dtype, ibsi=gi == 0)
+                          cfg.d3_ngtdm_radius, ctx.bvmin, ctx.bvmax,
+                          cfg.noval, ctx.intens.dtype, ibsi=gi == 0)
 
 
 FAMILIES3D = {
@@ -267,9 +283,11 @@ FAMILIES3D = {
 
 @functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta"))
 def _extract3d(intens, mask, area, vmin, vmax, dd, hh, ww, families, cfg,
-               static_meta=(), slide_range=None, cloud_area=None):
+               static_meta=(), slide_range=None, cloud_area=None,
+               bvmin=None, bvmax=None):
     ctx = Ctx3D(intens, mask, area, vmin, vmax, dd, hh, ww, cfg, static_meta,
-                slide_range=slide_range, cloud_area=cloud_area)
+                slide_range=slide_range, cloud_area=cloud_area,
+                bvmin=bvmin, bvmax=bvmax)
     return {name: FAMILIES3D[name](ctx, cfg) for name in families}
 
 
@@ -308,11 +326,15 @@ class VolumeRunner:
             # whole-volume vROI: INCLUSIVE one-past AABB 0..D,0..H,0..W
             # (init_from_whd, aabb.h:61-69) -- the last plane/row/col of
             # the cube stay empty and participate as grey 0, like the 2D
-            # whole-slide quirk
+            # whole-slide quirk.  Texture families bin against the vROI's
+            # aux range aux_min=0, aux_max=slide_max - slide_min
+            # (workflow_3d_whole.cpp:102-106; bin_intensities_3d reads
+            # r.aux_min/aux_max) rather than the cloud extrema
             D, H, W = intens.shape
             r0 = recs[0]
             recs[0] = Roi3D(r0.label, r0.area, 0, D, 0, H, 0, W,
-                            r0.vmin, r0.vmax)
+                            r0.vmin, r0.vmax,
+                            bin_min=0.0, bin_max=float(int(smax - smin)))
         eps = 1.1920929e-07
         if self.cfg.aniso_customized or abs(self.cfg.aniso_z - 1.0) > eps:
             # 3D anisotropy: physical phase-1 metrics + NN-resampled virtual
@@ -435,6 +457,10 @@ class VolumeRunner:
                                  else r.area for r in brecs], jnp.int32)
             vmin = jnp.asarray([r.vmin for r in brecs], dtype)
             vmax = jnp.asarray([r.vmax for r in brecs], dtype)
+            bvmin = jnp.asarray([r.vmin if r.bin_min is None else r.bin_min
+                                 for r in brecs], dtype)
+            bvmax = jnp.asarray([r.vmax if r.bin_max is None else r.bin_max
+                                 for r in brecs], dtype)
             dd = jnp.asarray([r.depth for r in brecs], jnp.int32)
             hh = jnp.asarray([r.height for r in brecs], jnp.int32)
             ww = jnp.asarray([r.width for r in brecs], jnp.int32)
@@ -445,16 +471,29 @@ class VolumeRunner:
             # intensity levels, whose matrices are sized by the slide max.
             ceil = max(int(smax), 2)
             ceil = 1 << (ceil - 1).bit_length()
-            static_meta = (("max_int", ceil),)
+            # NGLDM level ceiling: to_grayscale is unclamped, so when a
+            # rec bins against a range below its cloud max (whole-volume
+            # aux convention) levels reach floor(cloud_max*n/range);
+            # overshoot is harmless (empty rows carry zero mass)
+            g_ngldm = (0 if self.cfg.ibsi else self.cfg.coarse_gray_depth)
+            ngldm_nmax = max(abs(g_ngldm), 2)
+            for r in brecs:
+                if r.bin_max is not None and r.bin_max < r.vmax and \
+                        r.bin_max > 0 and g_ngldm > 0:
+                    ngldm_nmax = max(ngldm_nmax,
+                                     int(r.vmax * g_ngldm / r.bin_max) + 1)
+            static_meta = (("max_int", ceil), ("ngldm_nmax", ngldm_nmax))
             srange = jnp.full((len(brecs),), smax - smin, dtype)
-            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww, srange, carea)
+            batch_args = (ci, cm, area, vmin, vmax, dd, hh, ww, srange, carea,
+                          bvmin, bvmax)
             if self.mesh is not None:
                 from ..parallel import shard_batch
                 batch_args, _ = shard_batch(self.mesh, batch_args)
             out = _extract3d(*batch_args[:8],
                              self.families, self.cfg, static_meta,
                              slide_range=batch_args[8],
-                             cloud_area=batch_args[9])
+                             cloud_area=batch_args[9],
+                             bvmin=batch_args[10], bvmax=batch_args[11])
             # dispatch every bucket before collecting any: executions
             # queue back-to-back on the device and the D2H pulls overlap
             # later buckets' compute (tunneled-link latency hiding, same

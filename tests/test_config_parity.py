@@ -212,18 +212,20 @@ def test_3d_aniso_reference_binary_parity():
 
 
 def test_3d_wholevolume_reference_binary_parity():
-    """3D whole-volume (singleROI) morphology vs the reference binary
-    (fixture tools/gen_config_fixtures.gen_3d_whole; the binary ABORTS on
-    *3D_ALL* in this mode -- "illegal call of D3_VoxelIntensityFeatures" --
-    so the fixture holds the families its whole-volume reduce supports).
+    """3D whole-volume (singleROI) morphology + ALL SEVEN texture families
+    vs the reference binary (fixture tools/gen_config_fixtures.gen_3d_whole;
+    the binary ABORTS on *3D_ALL* in this mode -- "illegal call of
+    D3_VoxelIntensityFeatures" -- so the fixture holds every family its
+    whole-volume reduce supports, reduce_trivial_rois.cpp:657-707).
 
-    Pinned: the analytic singleROI surface family (box quantities from the
-    one-past AABB, axis features zeroed, 3d_surface.cpp:330-352).  The
-    texture families are NOT yet pinned in this mode: the reference's
-    whole-volume cube construction leaves a 0.5-6% gap against this
-    engine's one-past-AABB run that is not yet root-caused (tracked gap;
-    segmented-mode 3D texture IS binary-pinned in
-    test_3d_reference_binary_parity)."""
+    Whole-volume cube semantics (root-caused r5): the cube is the RAW
+    intensity volume in a one-past box (init_from_whd, aabb.h:61-69), but
+    texture grey-binning runs against the vROI's aux range aux_min=0,
+    aux_max = slide_max - slide_min (featurize_wholevolume,
+    workflow_3d_whole.cpp:102-106) rather than the cloud extrema -- and
+    NGLDM's unclamped to_grayscale then produces levels beyond the nominal
+    grey depth (helpers.h:337, 3d_ngldm.cpp:123-166), which the engine's
+    matrices must keep as distinct rows."""
     from tests.test_oversized import _blob3d
     from nyxus_tpu.pipeline.runner3d import VolumeRunner
 
@@ -232,7 +234,9 @@ def test_3d_wholevolume_reference_binary_parity():
     ref = ref.sort_values("ROI_label").set_index("ROI_label")
     intens, _ = _blob3d(seed=4, shape=(48, 56, 60))
     intens = (intens % 59 + 1).astype(np.uint16)
-    fset = tx.parse_feature_request(["*3D_ALL_MORPHOLOGY*"], dim=3)
+    fset = tx.parse_feature_request(
+        ["*3D_ALL_MORPHOLOGY*", "*3D_GLCM*", "*3D_GLDM*", "*3D_GLDZM*",
+         "*3D_GLRLM*", "*3D_GLSZM*", "*3D_NGLDM*", "*3D_NGTDM*"], dim=3)
     runner = VolumeRunner(fset, EngineConfig(precision="f64"))
     labs, values = runner.run(intens, np.ones(intens.shape, np.int32),
                               wholeslide=True)
@@ -240,7 +244,7 @@ def test_3d_wholevolume_reference_binary_parity():
     ours = pd.DataFrame(values, columns=cols[4:])
     ours["ROI_label"] = labs
     ours = ours.set_index("ROI_label")
-    _compare(ref, ours, 12)
+    _compare(ref, ours, 170)
 
 
 def test_3d_ibsi_reference_binary_parity():
