@@ -318,7 +318,8 @@ class Nyxus:
                                    self.cfg.noval)
             return ipath, lpath, labs, values
 
-        inflight = None
+        from collections import deque
+        inflight = deque()       # up to 2 slides of async device work
         try:
             fut = ex.submit(load, 0) if pairs else None
             for k, (ipath, lpath) in enumerate(pairs):
@@ -329,11 +330,11 @@ class Nyxus:
                 labs, fin = self._run_pair_file(ipath, lpath, wholeslide,
                                                 fname, preloaded=pre,
                                                 async_collect=True)
-                if inflight is not None:
-                    yield finalize(inflight)
-                inflight = (ipath, lpath, labs, fin)
-            if inflight is not None:
-                yield finalize(inflight)
+                inflight.append((ipath, lpath, labs, fin))
+                if len(inflight) > 1:
+                    yield finalize(inflight.popleft())
+            while inflight:
+                yield finalize(inflight.popleft())
         finally:
             ex.shutdown(wait=False)
 

@@ -113,16 +113,20 @@ def gldzm_features_from_zones(zlev, zd, wz, roi_area, vmin, vmax,
     out["GLDZM_LDHGLE"] = jnp.sum(wz * g2 * d2, axis=1) / s
 
     inf = jnp.asarray(jnp.inf, dtype)
-    # GLNU: zones grouped by level (non-zero levels only)
-    _, cnt_g, v_g = zones.grouped_run_counts(jnp.where(wz > 0, zlev, inf))
-    glnu = jnp.sum(jnp.where(v_g, cnt_g, 0).astype(dtype), axis=1)
+    # GLNU: zones grouped by level (non-zero levels only).  Weight-aware:
+    # each row contributes w * (group weight sum), so Sum_g (Sum w)^2 --
+    # exact whether zones arrive one-per-row or pre-aggregated
+    _, wg, sum_g, v_g = zones.grouped_weight_sums(
+        jnp.where(wz > 0, zlev, inf), wz)
+    glnu = jnp.sum(jnp.where(v_g, wg * sum_g, 0).astype(dtype), axis=1)
     out["GLDZM_GLNU"] = glnu / s
     out["GLDZM_GLNUN"] = glnu / (s * s)
     # ZDNU: zones grouped by distance (the reference's Md sums include all
     # rows, but zero-grey zones don't exist in MATLAB mode and are skipped
     # from Ns; group over counted zones)
-    _, cnt_d, v_d = zones.grouped_run_counts(jnp.where(wz > 0, zd, inf))
-    zdnu = jnp.sum(jnp.where(v_d, cnt_d, 0).astype(dtype), axis=1)
+    _, wd, sum_d, v_d = zones.grouped_weight_sums(
+        jnp.where(wz > 0, zd, inf), wz)
+    zdnu = jnp.sum(jnp.where(v_d, wd * sum_d, 0).astype(dtype), axis=1)
     out["GLDZM_ZDNU"] = zdnu / s
     out["GLDZM_ZDNUN"] = zdnu / (s * s)
 
@@ -134,11 +138,14 @@ def gldzm_features_from_zones(zlev, zd, wz, roi_area, vmin, vmax,
     out["GLDZM_GLV"] = jnp.sum(wz * (zlev - glm[:, None]) ** 2, axis=1) / s
     out["GLDZM_ZDV"] = jnp.sum(wz * (zd - zdm[:, None]) ** 2, axis=1) / s
 
-    # ZDE over (level, distance) cells
+    # ZDE over (level, distance) cells: each row contributes
+    # w * log2(p_cell), p_cell = (cell weight sum)/Ns
     key = jnp.where(wz > 0, zlev * maxd + zd, inf)
-    _, cnt_c, v_c = zones.grouped_run_counts(key)
-    zde = -jnp.sum(jnp.where(v_c, jnp.log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
-                   axis=1) / s
+    _, wc, sum_c, v_c = zones.grouped_weight_sums(key, wz)
+    zde = -jnp.sum(
+        jnp.where(v_c,
+                  wc * jnp.log2(sum_c.astype(dtype) / s[:, None] + EPS), 0),
+        axis=1) / s
     out["GLDZM_ZDE"] = zde
 
     bad = (vmin == vmax) | (ns == 0)

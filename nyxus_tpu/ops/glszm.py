@@ -63,40 +63,47 @@ def glszm_features_from_zones(zlev, zsize, w, np_pixels, vmin, vmax,
     l2 = zlev * zlev
     s2 = zsize * zsize
 
+    # every sum carries the zone weight w (multiplicity): dense callers pass
+    # w in {0, 1} (identical results), the streamed path ships aggregated
+    # unique (level, size) pairs with w = count
     out = {}
     out["GLSZM_SAE"] = jnp.sum(w * inv(s2), axis=1) / s
-    out["GLSZM_LAE"] = jnp.sum(s2, axis=1) / s
+    out["GLSZM_LAE"] = jnp.sum(w * s2, axis=1) / s
     out["GLSZM_ZP"] = nz / jnp.maximum(np_pixels.astype(dtype), 1)
-    mu_g = jnp.sum(zlev, axis=1) / s
+    mu_g = jnp.sum(w * zlev, axis=1) / s
     out["GLSZM_GLV"] = jnp.sum(w * (zlev - mu_g[:, None]) ** 2, axis=1) / s
-    mu_z = jnp.sum(zsize, axis=1) / s
+    mu_z = jnp.sum(w * zsize, axis=1) / s
     out["GLSZM_ZV"] = jnp.sum(w * (zsize - mu_z[:, None]) ** 2, axis=1) / s
     out["GLSZM_LGLZE"] = jnp.sum(w * inv(l2), axis=1) / s
-    out["GLSZM_HGLZE"] = jnp.sum(l2, axis=1) / s
+    out["GLSZM_HGLZE"] = jnp.sum(w * l2, axis=1) / s
     out["GLSZM_SALGLE"] = jnp.sum(w * inv(l2) * inv(s2), axis=1) / s
-    out["GLSZM_SAHGLE"] = jnp.sum(l2 * inv(s2), axis=1) / s
-    out["GLSZM_LALGLE"] = jnp.sum(s2 * inv(l2), axis=1) / s
-    out["GLSZM_LAHGLE"] = jnp.sum(l2 * s2, axis=1) / s
+    out["GLSZM_SAHGLE"] = jnp.sum(w * l2 * inv(s2), axis=1) / s
+    out["GLSZM_LALGLE"] = jnp.sum(w * s2 * inv(l2), axis=1) / s
+    out["GLSZM_LAHGLE"] = jnp.sum(w * l2 * s2, axis=1) / s
 
     inf = jnp.asarray(jnp.inf, dtype)
 
-    # GLN / GLNN: sum_i si^2 = sum over zones of (zones sharing the level)
-    _, cnt_l, v_l = zones.grouped_run_counts(jnp.where(w > 0, zlev, inf))
-    gln = jnp.sum(jnp.where(v_l, cnt_l, 0).astype(dtype), axis=1)
+    # GLN / GLNN: sum_i si^2; weight-aware group sums (see gldzm.py)
+    _, wl, sum_l, v_l = zones.grouped_weight_sums(
+        jnp.where(w > 0, zlev, inf), w)
+    gln = jnp.sum(jnp.where(v_l, wl * sum_l, 0).astype(dtype), axis=1)
     out["GLSZM_GLN"] = gln / s
     out["GLSZM_GLNN"] = gln / (s * s)
 
     # SZN / SZNN by zone size
-    _, cnt_s, v_s = zones.grouped_run_counts(jnp.where(w > 0, zsize, inf))
-    szn = jnp.sum(jnp.where(v_s, cnt_s, 0).astype(dtype), axis=1)
+    _, ws_, sum_s, v_s = zones.grouped_weight_sums(
+        jnp.where(w > 0, zsize, inf), w)
+    szn = jnp.sum(jnp.where(v_s, ws_ * sum_s, 0).astype(dtype), axis=1)
     out["GLSZM_SZN"] = szn / s
     out["GLSZM_SZNN"] = szn / (s * s)
 
-    # ZE: cells grouped by (level, size); per zone: log2(c/Nz + EPS)/Nz
+    # ZE: cells grouped by (level, size); per zone: w * log2(c/Nz + EPS)/Nz
     key = jnp.where(w > 0, zlev * size_key + zsize, inf)
-    _, cnt_c, v_c = zones.grouped_run_counts(key)
-    ze = -jnp.sum(jnp.where(v_c, fast_log2(cnt_c.astype(dtype) / s[:, None] + EPS), 0),
-                  axis=1) / s
+    _, wc, sum_c, v_c = zones.grouped_weight_sums(key, w)
+    ze = -jnp.sum(
+        jnp.where(v_c,
+                  wc * fast_log2(sum_c.astype(dtype) / s[:, None] + EPS), 0),
+        axis=1) / s
     out["GLSZM_ZE"] = ze
 
     bad = (vmin == vmax) | (nz == 0)

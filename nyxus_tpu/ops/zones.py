@@ -198,6 +198,35 @@ def zone_seeds_and_sizes(anc, valid):
     return seed, size.reshape(B, H, W)
 
 
+def grouped_weight_sums(keys, w):
+    """For each element (in sorted-key order), the SUM of ``w`` over the
+    elements sharing its key.
+
+    The weighted generalization of grouped_run_counts: with w == 1 the sums
+    are the group cardinalities.  Lets callers ship pre-aggregated zone
+    lists (unique (level, value) pairs with multiplicities) instead of one
+    row per zone.  keys: [B, A] float (+inf invalid); w: [B, A].
+    Returns (sorted_keys, sorted_w, group_sums, valid) aligned with the
+    sorted order."""
+    B, A = keys.shape
+    order = jnp.argsort(keys, axis=1)
+    ks = jnp.take_along_axis(keys, order, axis=1)
+    ws = jnp.take_along_axis(w, order, axis=1)
+    v = jnp.isfinite(ks)
+    idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1)
+    is_end = jnp.concatenate(
+        [ks[:, 1:] != ks[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+    run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+    run_end = lax.cummin(jnp.where(is_end, idx, A - 1), axis=1, reverse=True)
+    c = jnp.cumsum(ws, axis=1)
+    sums = (jnp.take_along_axis(c, run_end, axis=1)
+            - jnp.take_along_axis(c, run_start, axis=1)
+            + jnp.take_along_axis(ws, run_start, axis=1))
+    return ks, ws, jnp.where(v, sums, 0), v
+
+
 def grouped_run_counts(keys):
     """For each valid element, the number of valid elements sharing its key.
 

@@ -291,31 +291,38 @@ def power_spectrum_streamed(rec, source, dtype=np.float64, block=2048):
     dt = jnp.float64 if (dtype == np.float64
                          and jax.config.jax_enable_x64) else jnp.float32
 
-    @jax.jit
-    def upd(b, blk, y):
-        return jax.lax.dynamic_update_slice(b, blk, (y, 0))
-
-    buf = jnp.zeros((S, S), dt)
+    # assemble host-side (one HxS ndarray) and ship at most once: building
+    # it on device via per-block dynamic_update_slice shipped every block
+    # AND fetched the whole padded frame back over a tunneled link
+    np_dt = np.float64 if dt == jnp.float64 else np.float32
+    buf = np.zeros((S, S), np_dt)
     for y0 in range(0, rows, block):
         r = read(y0, min(block, rows - y0))
-        r = (r / med if med != 0 else r) - inv_mean
-        blk = np.zeros((r.shape[0], S), np.float64)
-        blk[:, :cols] = r
-        buf = upd(buf, jnp.asarray(blk, dt), y0)
+        buf[y0:y0 + r.shape[0], :cols] = (r / med if med != 0 else r) \
+            - inv_mean
 
     cap = int(max(rows, cols))
 
-    @jax.jit
-    def spectrum_bins(b):
-        F = jnp.abs(jnp.fft.fft2(b)) / S
-        v = F.ravel()
-        li = jnp.floor(jnp.sqrt(v)).astype(jnp.int32) + 1
-        li = jnp.where((li >= 0) & (li < cap), li, cap)
-        mag = jnp.zeros(cap + 1, dt).at[li].add(v)
-        pw = jnp.zeros(cap + 1, dt).at[li].add(v * v)
-        return mag[:cap], pw[:cap]
+    if dt == jnp.float64 and jax.default_backend() != "cpu":
+        # TPU backends reject c128 FFTs ("Unexpected operand type for FFT:
+        # c128"); the one-shot whole-frame f64 spectrum runs host-side
+        v = (np.abs(np.fft.fft2(buf)) / S).ravel()
+        li = np.floor(np.sqrt(v)).astype(np.int64) + 1
+        li = np.where((li >= 0) & (li < cap), li, cap)
+        mag = np.bincount(li, weights=v, minlength=cap + 1)[:cap]
+        pw = np.bincount(li, weights=v * v, minlength=cap + 1)[:cap]
+    else:
+        @jax.jit
+        def spectrum_bins(b):
+            F = jnp.abs(jnp.fft.fft2(b)) / S
+            v = F.ravel()
+            li = jnp.floor(jnp.sqrt(v)).astype(jnp.int32) + 1
+            li = jnp.where((li >= 0) & (li < cap), li, cap)
+            mag = jnp.zeros(cap + 1, dt).at[li].add(v)
+            pw = jnp.zeros(cap + 1, dt).at[li].add(v * v)
+            return mag[:cap], pw[:cap]
 
-    mag, pw = map(np.asarray, spectrum_bins(buf))
+        mag, pw = map(np.asarray, spectrum_bins(buf))
     radii, power = [], []
     for i in range(cap):
         if mag[i] > 0 and pw[i] > 0 and np.isfinite(np.log(pw[i])):

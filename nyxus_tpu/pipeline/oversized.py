@@ -400,6 +400,27 @@ def _pow2(n: int, lo: int = 8) -> int:
     return p
 
 
+# above this pixel count the one-shot GLDZM level plane (int32 + a few
+# transient int32 distance planes) would strain host RAM; fall back to the
+# two-half-pass streamed union-find
+_GLDZM_PLANE_CAP = 1 << 27
+
+
+def _agg_zones(zlev, zval, w):
+    """Collapse zone lists to unique (level, value) pairs with summed
+    weights before shipping to the device kernels: a noisy giant ROI has
+    millions of zones but only ~levels x sizes distinct pairs, and the
+    jitted zone kernels are weight-aware."""
+    comp = (zlev[0].astype(np.int64) << np.int64(42)) + \
+        zval[0].astype(np.int64)
+    u, inv = np.unique(comp, return_inverse=True)
+    ws = np.zeros(u.shape[0], np.float64)
+    np.add.at(ws, inv, w[0])
+    return ((u >> np.int64(42)).astype(np.float64)[None],
+            (u & ((np.int64(1) << 42) - 1)).astype(np.float64)[None],
+            ws[None])
+
+
 def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
     """Streamed texture pass: one top-down strip sweep feeding all wanted
     accumulators (+ one bottom-up sweep for GLDZM), then the SAME jitted
@@ -441,11 +462,18 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
         g, ng = setup("glszm")
         greyinfos["glszm"] = g
         accs["glszm"] = ot.SzAccum(W)
+    gldzm_plane = None
     if "GLDZMFeature" in want:
         g, ng = setup("gldzm")
         greyinfos["gldzm"] = g
-        accs["gldzm"] = ot.DzAccum(W)
-        accs["gldzm_b"] = ot.DzAccum(W)
+        if H * W <= _GLDZM_PLANE_CAP:
+            # one-shot vectorized zone labeling over an int32 level plane
+            # (16x+ cheaper than the dense compute crop; same budget
+            # rationale as the streamed contour's byte mask)
+            gldzm_plane = np.empty((H, W), np.int32)
+        else:
+            accs["gldzm"] = ot.DzAccum(W)
+            accs["gldzm_b"] = ot.DzAccum(W)
     need_ngtdm = "NGTDMFeature" in want
     need_gldm = "GLDMFeature" in want
     need_ngldm = "NGLDMfeature" in want
@@ -495,6 +523,12 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
                 continue
 
             n_nonzero += int((orig > 0).sum())
+            if gldzm_plane is not None:
+                g = greyinfos["gldzm"]
+                lvb = levs[g]
+                vb = np.ones_like(lvb, bool) if g > 0 else lvb > 0
+                gldzm_plane[by - rec.y0: by - rec.y0 + bh] = \
+                    np.where(vb, lvb, -1).astype(np.int32)
             if "glcm" in accs:
                 accs["glcm"].feed(orig, levs[greyinfos["glcm"]])
             if need_ngldm:
@@ -507,6 +541,15 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
                         -1)
             else:
                 nglev = np.full((bh, W), -1, np.int64)
+            if "neigh" in accs:
+                fam = "ngtdm" if need_ngtdm else "gldm"
+                g = greyinfos[fam]
+                lv2 = levs[g]
+                v2 = np.ones((bh, W), bool) if g > 0 else lv2 > 0
+                if need_ngtdm and v2.any():
+                    maxlev_ngtdm = max(maxlev_ngtdm,
+                                       int(np.where(v2, lv2, 0).max()))
+                accs["neigh"].feed_block(orig, lv2, v2, nglev)
             for r in range(bh):
                 if "glrlm" in accs:
                     g = greyinfos["glrlm"]
@@ -523,15 +566,6 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
                     lv = levs[g][r]
                     vrow = np.ones(W, bool) if g > 0 else lv > 0
                     accs["gldzm"].feed_row(lv, vrow, by + r - rec.y0)
-                if "neigh" in accs:
-                    fam = "ngtdm" if need_ngtdm else "gldm"
-                    g = greyinfos[fam]
-                    lv = levs[g][r]
-                    vrow = np.ones(W, bool) if g > 0 else lv > 0
-                    if need_ngtdm:
-                        mx = int(np.where(vrow, lv, 0).max()) if vrow.any() else 0
-                        maxlev_ngtdm = max(maxlev_ngtdm, mx)
-                    accs["neigh"].feed_row(orig[r], lv, vrow, nglev[r])
 
     sweep(top_down=True)
     if "gldzm" in accs:
@@ -588,7 +622,7 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
     if "glszm" in accs:
         from ..ops import glszm as ops_glszm
         g = greyinfos["glszm"]
-        zlev, zsize, w = accs["glszm"].finish()
+        zlev, zsize, w = _agg_zones(*accs["glszm"].finish())
         Z = _pow2(zlev.shape[1])
         pad = ((0, 0), (0, Z - zlev.shape[1]))
         np_pixels = H * W if g > 0 else n_nonzero
@@ -601,10 +635,17 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
         out["GLSZMFeature"] = {k: float(np.asarray(v)[0])
                                for k, v in res.items()}
 
-    if "gldzm" in accs:
+    if ("gldzm" in accs) or (gldzm_plane is not None):
         from ..ops import gldzm as ops_gldzm
-        zlev, zd, wz = ot.join_dz(accs["gldzm"].finish(),
-                                  accs["gldzm_b"].finish())
+        if gldzm_plane is not None:
+            zl, zdist = ot.gldzm_zones_plane(gldzm_plane)
+            w_in = np.ones_like(zl)
+            if zl.size == 0:        # no nonzero-level zones: dead w=0 row
+                zl, zdist, w_in = np.zeros(1), np.zeros(1), np.zeros(1)
+            zlev, zd, wz = _agg_zones(zl[None], zdist[None], w_in[None])
+        else:
+            zlev, zd, wz = _agg_zones(*ot.join_dz(accs["gldzm"].finish(),
+                                                  accs["gldzm_b"].finish()))
         Z = _pow2(zlev.shape[1])
         pad = ((0, 0), (0, Z - zlev.shape[1]))
         res = ops_gldzm.gldzm_features_from_zones(

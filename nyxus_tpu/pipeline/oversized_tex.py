@@ -408,6 +408,119 @@ class DzAccum:
         return out
 
 
+def _run_rle(lv: np.ndarray):
+    """Vectorized RLE of a 2D level plane into row-confined maximal runs.
+    Returns (starts, ends, rows, cols0, cole, rlev) -- flat indices, row ids,
+    column intervals [cols0, cole), and levels."""
+    H, W = lv.shape
+    flat = lv.ravel()
+    n = flat.size
+    brk = np.empty(n, bool)
+    brk[0] = True
+    np.not_equal(flat[1:], flat[:-1], out=brk[1:])
+    brk[::W] = True
+    starts = np.nonzero(brk)[0]
+    ends = np.append(starts[1:], n)
+    rows = starts // W
+    cols0 = starts - rows * W
+    cole = ends - rows * W
+    return starts, ends, rows, cols0, cole, flat[starts]
+
+
+def _run_components(rows, cols0, cole, rlev, W):
+    """Connected-component labels of the run graph (4-connectivity between
+    equal-level runs of consecutive rows with overlapping column spans).
+    Vectorized: overlap edges via searchsorted over the raster-ordered run
+    list, then min-label propagation with pointer doubling."""
+    nr = rows.shape[0]
+    key_s = rows * np.int64(W) + cols0
+    key_e = rows * np.int64(W) + cole
+    # for each run j, candidate predecessors in row-1 with col overlap
+    lo = np.searchsorted(key_e, (rows - 1) * np.int64(W) + cols0, "right")
+    hi = np.searchsorted(key_s, (rows - 1) * np.int64(W) + cole, "left")
+    cnt = np.maximum(hi - lo, 0)
+    tot = int(cnt.sum())
+    if tot:
+        a = np.repeat(np.arange(nr, dtype=np.int64), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        b = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64)
+                                  - np.repeat(csum, cnt))
+        keep = rlev[a] == rlev[b]
+        a, b = a[keep], b[keep]
+    else:
+        a = b = np.zeros(0, np.int64)
+    label = np.arange(nr, dtype=np.int64)
+    while True:
+        l2 = label.copy()
+        if a.size:
+            np.minimum.at(l2, a, label[b])
+            np.minimum.at(l2, b, label[a])
+        l2 = np.minimum(l2, l2[l2])
+        l2 = l2[l2]
+        if np.array_equal(l2, label):
+            break
+        label = l2
+    return label
+
+
+def gldzm_zones_plane(lv: np.ndarray):
+    """GLDZM zones of a full level plane in one vectorized pass -- the
+    whole-ROI equivalent of the two DzAccum half-passes (4-connected
+    equal-level components; per-zone min over pixels of the min border
+    distance, distances stopping at zero-level pixels or the AABB margin,
+    gldzm.cpp:121-210,306-352).
+
+    ``lv``: int64 plane, invalid pixels -1 (they stop distances like level
+    0 does and are excluded from zones).  Returns (zlev [Z], zdist [Z]) for
+    zones with level > 0 (zone weight 1 each; aggregate before shipping)."""
+    H, W = lv.shape
+    zero = lv <= 0
+    xs = np.arange(W, dtype=np.int32)[None, :]
+    ys = np.arange(H, dtype=np.int32)[:, None]
+    NEG = np.int32(-(1 << 30))
+    POS = np.int32(1 << 30)
+    # int32 throughout; intermediates freed eagerly (the plane path is
+    # memory-gated by the caller, transients must stay a few planes deep)
+    zl = np.maximum.accumulate(np.where(zero, xs, NEG), axis=1)
+    zl[:, 1:] = zl[:, :-1]          # strictly-left zero
+    zl[:, 0] = NEG
+    dist = np.minimum(xs - zl, xs)                           # d_left
+    del zl
+    zr = np.minimum.accumulate(np.where(zero, xs, POS)[:, ::-1],
+                               axis=1)[:, ::-1].copy()
+    zr[:, :-1] = zr[:, 1:]          # strictly-right zero
+    zr[:, -1] = POS
+    np.minimum(dist, np.minimum(zr - xs, (W - 1) - xs), out=dist)
+    del zr
+    zt = np.maximum.accumulate(np.where(zero, ys, NEG), axis=0)
+    zt[1:] = zt[:-1]                # strictly-above zero
+    zt[0] = NEG
+    np.minimum(dist, np.minimum(ys - zt, ys), out=dist)
+    del zt
+    zb = np.minimum.accumulate(np.where(zero, ys, POS)[::-1],
+                               axis=0)[::-1].copy()
+    zb[:-1] = zb[1:]                # strictly-below zero
+    zb[-1] = POS
+    np.minimum(dist, np.minimum(zb - ys, (H - 1) - ys), out=dist)
+    del zb
+    dist += 1
+    np.maximum(dist, 1, out=dist)
+
+    starts, ends, rows, cols0, cole, rlev = _run_rle(lv)
+    run_min = np.minimum.reduceat(dist.ravel(), starts)
+    label = _run_components(rows, cols0, cole, rlev, W)
+
+    sel = rlev > 0
+    if not sel.any():
+        return np.zeros(0, np.float64), np.zeros(0, np.float64)
+    u, inv = np.unique(label[sel], return_inverse=True)
+    zmin = np.full(u.shape[0], np.int64(1) << 60)
+    np.minimum.at(zmin, inv, run_min[sel])
+    zlev = np.zeros(u.shape[0], np.int64)
+    zlev[inv] = rlev[sel]      # same level across a zone; any writer works
+    return zlev.astype(np.float64), zmin.astype(np.float64)
+
+
 def join_dz(fwd: dict, bwd: dict):
     """(zlev [1, Z], zd [1, Z], wz [1, Z]) from the two half-passes.
     Only non-zero-level zones are counted (Ns, gldzm.cpp:418-421)."""
@@ -521,6 +634,120 @@ class NeighborhoodAccum:
         elif len(self._rows) == 3:
             self._process(*self._rows)
             self._rows.pop(0)
+
+    # -- block-vectorized equivalent of repeated feed_row ------------------
+
+    def _process2d(self, P, i0, i1, zplane):
+        """Process centers P[*][i0:i1] with above plane P[*][i0-1:i1-1]
+        (zero-padded at the top boundary) and below plane P[*][i0+1:i1+1]
+        (zero-padded at the bottom).  P = (orig, lev, valid, nglev) stacks;
+        zplane supplies the boundary rows."""
+        o, lev, valid, nglev = (p[i0:i1] for p in P)
+        M, W = o.shape
+
+        def plane(off):
+            lo, hi = i0 + off, i1 + off
+            out = []
+            for pi, p in enumerate(P):
+                if lo >= 0 and hi <= P[0].shape[0]:
+                    out.append(p[lo:hi])
+                else:
+                    q = np.empty((M, W), p.dtype)
+                    srclo, dstlo = max(lo, 0), max(-lo, 0)
+                    srchi = min(hi, P[0].shape[0])
+                    n = srchi - srclo
+                    if dstlo:
+                        q[:dstlo] = zplane[pi]
+                    q[dstlo:dstlo + n] = p[srclo:srchi]
+                    if dstlo + n < M:
+                        q[dstlo + n:] = zplane[pi]
+                    out.append(q)
+            return tuple(out)
+
+        rows = [plane(-1), (o, lev, valid, nglev), plane(1)]
+
+        if self.want[0]:        # NGTDM
+            lv = np.where(valid, lev, 0)
+            nsum = np.zeros((M, W), np.float64)
+            ncnt = np.zeros((M, W), np.float64)
+            for ri, r in enumerate(rows):
+                rlev = np.where(r[2], r[1], 0)
+                for dx in (-1, 0, 1):
+                    if ri == 1 and dx == 0:
+                        continue
+                    sl = _shift_cols(rlev, dx, np.int64(0))
+                    ok = sl > 0
+                    nsum += np.where(ok, sl, 0)
+                    ncnt += ok
+            isz = (lv > 0) & (ncnt > 0)
+            if isz.any():
+                ave = np.where(isz, nsum / np.maximum(ncnt, 1), 0.0)
+                diff = np.abs(lv - ave)
+                self.N += np.bincount(lv[isz],
+                                      minlength=self.ng + 1)[:self.ng + 1]
+                self.S += np.bincount(lv[isz], weights=diff[isz],
+                                      minlength=self.ng + 1)[:self.ng + 1]
+            if valid.any():
+                self.present |= (np.bincount(
+                    lv[valid], minlength=self.ng + 1)[:self.ng + 1] > 0)
+
+        if self.want[1]:        # GLDM: validity by ORIGINAL intensity > 0
+            roi = o > 0
+            nd = np.ones((M, W), np.int64)
+            for ri, r in enumerate(rows):
+                r_roi = r[0] > 0
+                for dx in (-1, 0, 1):
+                    if ri == 1 and dx == 0:
+                        continue
+                    sroi = _shift_cols(r_roi, dx, False)
+                    slev = _shift_cols(r[1], dx, np.int64(0))
+                    nd += (sroi & (slev == lev)).astype(np.int64)
+            if roi.any():
+                idx = (lev[roi] - 1) * 9 + np.minimum(nd[roi], 9) - 1
+                self.P_gldm += np.bincount(
+                    idx, minlength=self.P_gldm.size
+                ).reshape(self.P_gldm.shape).astype(np.float64)
+
+        if self.want[2]:        # NGLDM: mask membership, to_grayscale levels
+            m = nglev >= 0
+            matches = np.zeros((M, W), np.int64)
+            for ri, r in enumerate(rows):
+                for dx in (-1, 0, 1):
+                    if ri == 1 and dx == 0:
+                        continue
+                    sng = _shift_cols(r[3], dx, np.int64(-1))
+                    matches += ((sng >= 0) & (sng == nglev)).astype(np.int64)
+            if m.any():
+                idx = nglev[m] * 9 + np.minimum(matches[m], 8)
+                self.P_ngldm += np.bincount(
+                    idx, minlength=self.P_ngldm.size
+                ).reshape(self.P_ngldm.shape).astype(np.float64)
+
+    def feed_block(self, orig2d, lev2d, valid2d, nglev2d):
+        """Feed a full-width row strip; equivalent to feed_row per row but
+        vectorized over the strip (the above/below context of the strip's
+        boundary rows is carried between calls; invariant shared with
+        feed_row: _rows = [last centered row, pending row])."""
+        W = orig2d.shape[1]
+        blocks = (orig2d, lev2d, valid2d, nglev2d)
+        tail = self._rows        # up to 2 carried 1-row tuples
+        if tail:
+            P = tuple(np.concatenate(
+                [np.stack([t[i] for t in tail], axis=0), blocks[i]], axis=0)
+                for i in range(4))
+        else:
+            P = blocks
+        k = P[0].shape[0]
+        zplane = (np.zeros((1, W), np.float64), np.zeros((1, W), np.int64),
+                  np.zeros((1, W), bool), np.full((1, W), -1, np.int64))
+        # centers: every stacked row whose below-row is now available;
+        # with 2 carried rows the first is context only (already centered)
+        i0 = 1 if len(tail) == 2 else 0
+        i1 = k - 1
+        if i1 > i0:
+            self._process2d(P, i0, i1, zplane)
+        self._rows = [tuple(np.ascontiguousarray(p[j]) for p in P)
+                      for j in range(max(k - 2, 0), k)]
 
     def finish(self):
         if len(self._rows) == 1:

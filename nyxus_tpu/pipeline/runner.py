@@ -452,10 +452,17 @@ class PairRunner:
         triv_rows = [i for i in range(n) if i not in over_set]
 
         # chunk caps bound the quantized-batch signature space per bucket
-        # shape to {8,16,...,cap}: dense slides of any ROI count then reuse
-        # the SAME per-bucket executables (time-to-first-row), and texture
-        # intermediates (~B x ng^2 x angles) stay HBM-bounded
-        _CHUNK_CAP = {16: 256, 32: 256, 64: 256, 128: 64, 256: 16}
+        # shape: dense slides of any ROI count then reuse the SAME
+        # per-bucket executables (time-to-first-row), and texture
+        # intermediates (~B x ng^2 x angles) stay HBM-bounded.  Nucleus
+        # shapes (<=64 px) pad the batch axis straight to the cap -- ONE
+        # signature per shape -- because on a tunneled deployment each
+        # distinct signature costs seconds of executable load while pad
+        # rows (replicas of row 0) ship ~4x cheaper than real content
+        # (measured: 16-real+240-pad (256,64,64) u16 buffer = 51 ms vs
+        # 74 ms all-distinct) and add only device compute that is <10%%
+        # utilized anyway
+        _CHUNK_CAP = {8: 64, 16: 64, 32: 64, 64: 64, 128: 64, 256: 16}
         batches = []
         for shape, sub in batching.group_rois(
                 [recs[i] for i in triv_rows], hbm_budget_bytes=budget):
@@ -718,12 +725,17 @@ class PairRunner:
             # the whole padded slide no longer needs transferring
             B = len(idxs)
             pad_b = 0
-            if self.mesh is None and max(hb, wb) <= 256:
-                # quantize the batch axis of nucleus-scale buckets so the
-                # fused executable's signature recurs across slides (pad rows
-                # replicate row 0; dropped at unpack time).  Big-ROI buckets
-                # are left exact: their texture intermediates scale ~ng x the
-                # crop, so even one padded row is expensive
+            if self.mesh is None and max(hb, wb) <= 64:
+                # nucleus-scale buckets: pad the batch axis straight to the
+                # chunk cap -- ONE executable signature per bucket shape
+                # (pad rows replicate row 0, cheap on the wire and dropped
+                # at unpack time)
+                bq = _CHUNK_CAP[max(hb, wb)]
+                pad_b = bq - B
+            elif self.mesh is None and max(hb, wb) <= 256:
+                # big-ROI buckets: pow2-quantized batch axis (signature
+                # space {8,16,...,cap}); their texture intermediates scale
+                # ~ng x the crop, so cap-padding would be HBM-expensive
                 bq = max(8, 1 << (B - 1).bit_length())
                 pad_b = bq - B
             tr_dt = int_tr if int_tr is not None else np_dt
