@@ -319,7 +319,14 @@ class Nyxus:
             return ipath, lpath, labs, values
 
         from collections import deque
-        inflight = deque()       # up to 2 slides of async device work
+        # three-deep pipeline, with collection on worker threads: slide k's
+        # result collection (device fetch + device-dependent host families)
+        # runs CONCURRENTLY with k+1's collection and k+2's dispatch, so
+        # the main thread's per-slide critical path is dispatch + yield
+        # only.  Results still yield in submission order.
+        fin_ex = ThreadPoolExecutor(max_workers=4,
+                                    thread_name_prefix="nyx-collect")
+        inflight = deque()       # ordered futures of finalize()
         try:
             fut = ex.submit(load, 0) if pairs else None
             for k, (ipath, lpath) in enumerate(pairs):
@@ -330,13 +337,15 @@ class Nyxus:
                 labs, fin = self._run_pair_file(ipath, lpath, wholeslide,
                                                 fname, preloaded=pre,
                                                 async_collect=True)
-                inflight.append((ipath, lpath, labs, fin))
-                if len(inflight) > 1:
-                    yield finalize(inflight.popleft())
+                inflight.append(fin_ex.submit(
+                    finalize, (ipath, lpath, labs, fin)))
+                if len(inflight) > 4:
+                    yield inflight.popleft().result()
             while inflight:
-                yield finalize(inflight.popleft())
+                yield inflight.popleft().result()
         finally:
             ex.shutdown(wait=False)
+            fin_ex.shutdown(wait=False)
 
     def featurize_files(self, intensity_files, mask_files, single_roi=False,
                         output_type: str = "pandas", output_path: str = ""):
@@ -704,7 +713,6 @@ class Nyxus3D:
         if output_type not in self._valid_output_types:
             raise ValueError("Invalid output type %s. Valid output types are %s."
                              % (output_type, self._valid_output_types))
-        frames = []
         from .io.strpat import StringPattern
         if StringPattern.is_layoutA_fpattern(file_pattern):
             # 2.5D: z-stacks of 2D slice files form volumes (reference:
@@ -714,22 +722,56 @@ class Nyxus3D:
             # workflow_3d_whole.cpp:294)
             groups = list(ds.read_3d_layoutA(
                 intensity_dir, label_dir, file_pattern))
+            from .pipeline.sources import LayoutAStack
+
+            def _prep_slice(a):
+                a = np.asarray(a, np.float64)
+                if a.size and a.min() < 0:
+                    # global min-shift needs the whole stack; fall back
+                    raise ValueError("negative intensities")
+                return np.floor(a)
 
             def load_stack(k):
                 _, ipaths, lpaths = groups[k]
+                # RAM gate (reference tile-streams 2.5D like 2D,
+                # phase1.cpp:130 gatherRoisMetrics_25D): over-budget
+                # stacks return a lazy per-slice source instead of
+                # np.stack-ing the whole z-stack
+                try:
+                    stack = LayoutAStack(ipaths, lpaths, prep=_prep_slice)
+                    D, H, W = stack.full_shape
+                    if D * H * W * 16 > (self.cfg.ram_limit_mb << 20) // 2:
+                        return stack
+                except ValueError:
+                    pass
                 return (np.stack([readers.read_gray(p) for p in ipaths]),
                         np.stack([readers.read_gray(p) for p in lpaths]))
 
-            for k, vols in _prefetched(load_stack, len(groups)):
-                key = groups[k][0]
-                ivol, lvol = vols
-                labs, values = self._runner.run(
-                    self._prep(ivol), lvol.astype(np.int32))
-                values = _force_finite(values, self.cfg.noval)
-                frames.append(_frame(self.header,
-                                     os.path.join(intensity_dir, key),
-                                     os.path.join(label_dir, key),
-                                     labs, values))
+            def gen():
+                for k, vols in _prefetched(load_stack, len(groups)):
+                    key = groups[k][0]
+                    if isinstance(vols, LayoutAStack):
+                        try:
+                            labs, values = self._runner.run(vols.intens,
+                                                            vols.labels)
+                        except ValueError:
+                            # negative intensities mid-stack: materialize
+                            _, ipaths, lpaths = groups[k]
+                            ivol = np.stack([readers.read_gray(p)
+                                             for p in ipaths])
+                            lvol = np.stack([readers.read_gray(p)
+                                             for p in lpaths])
+                            labs, values = self._runner.run(
+                                self._prep(ivol), lvol.astype(np.int32))
+                    else:
+                        ivol, lvol = vols
+                        labs, values = self._runner.run(
+                            self._prep(ivol), lvol.astype(np.int32))
+                    values = _force_finite(values, self.cfg.noval)
+                    yield _frame(self.header,
+                                 os.path.join(intensity_dir, key),
+                                 os.path.join(label_dir, key),
+                                 labs, values)
         else:
             int_files, lab_files, _ = ds.read_3d_dataset(
                 intensity_dir, label_dir, file_pattern)
@@ -737,15 +779,10 @@ class Nyxus3D:
             if self._shard_slides:
                 from .parallel import process_shard
                 vol_pairs = process_shard(vol_pairs)
-            frames.extend(self._featurize_volume_pairs(vol_pairs))
-        df = pd.concat(frames, ignore_index=True) if frames else \
-            _frame(self.header, "", "", np.zeros(0, np.int64),
-                   np.zeros((0, len(self.header) - 4)))
-        if output_type == "pandas":
-            return df
-        from .io import writers
-        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
-        return self._arrow_path
+
+            def gen():
+                yield from self._iter_volume_pairs(vol_pairs)
+        return self._emit(gen(), output_type, output_path)
 
     def featurize_files(self, intensity_files, mask_files, single_roi=False,
                         output_type: str = "pandas", output_path: str = ""):
@@ -755,15 +792,36 @@ class Nyxus3D:
             raise IOError("The list of segment file paths is empty")
         pairs = [(ipath, ipath if single_roi else mask_files[k])
                  for k, ipath in enumerate(intensity_files)]
-        frames = self._featurize_volume_pairs(pairs, single_roi=single_roi)
-        df = pd.concat(frames, ignore_index=True)
+        return self._emit(self._iter_volume_pairs(pairs,
+                                                  single_roi=single_roi),
+                          output_type, output_path)
+
+    def _emit(self, frame_gen, output_type, output_path):
+        """pandas: concatenate; arrow/parquet: per-volume streamed commits
+        in constant memory (the 2D path's behavior; reference streams per
+        volume too, workflow_3d_whole.cpp:172-186
+        save_features_2_apache_wholeslide)."""
         if output_type == "pandas":
-            return df
+            frames = list(frame_gen)
+            return pd.concat(frames, ignore_index=True) if frames else \
+                _frame(self.header, "", "", np.zeros(0, np.int64),
+                       np.zeros((0, len(self.header) - 4)))
         from .io import writers
-        self._arrow_path = writers.write_dataframe(df, output_type, output_path)
+        w = writers.StreamingArrowWriter(output_type, output_path)
+        try:
+            wrote = False
+            for frame in frame_gen:
+                w.write(frame)
+                wrote = True
+            if not wrote:
+                w.write(_frame(self.header, "", "", np.zeros(0, np.int64),
+                               np.zeros((0, len(self.header) - 4))))
+        finally:
+            w.close()
+        self._arrow_path = w.path
         return self._arrow_path
 
-    def _featurize_volume_pairs(self, pairs, single_roi=False):
+    def _iter_volume_pairs(self, pairs, single_roi=False):
         """Per-slide frames for a volume pair list; volume k+1 decodes on a
         reader thread while volume k computes (the 2D path's IO/compute
         overlap; the reference fans whole volumes over threads,
@@ -779,13 +837,11 @@ class Nyxus3D:
                 lvol, _ = readers.read_volume(lpath, with_meta=True)
             return ivol, imeta, lvol
 
-        frames = []
         for k, (ivol, imeta, lvol) in _prefetched(load, len(pairs)):
             ipath, lpath = pairs[k]
-            frames.append(self._featurize_volume_arrays(
+            yield self._featurize_volume_arrays(
                 ipath, "" if single_roi else lpath, ivol, imeta, lvol,
-                wholeslide=single_roi))
-        return frames
+                wholeslide=single_roi)
 
     def _featurize_volume_pair(self, ipath, lpath, single_roi=False):
         """One volume pair, loaded and featurized strictly serially --

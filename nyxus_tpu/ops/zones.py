@@ -205,25 +205,40 @@ def grouped_weight_sums(keys, w):
     The weighted generalization of grouped_run_counts: with w == 1 the sums
     are the group cardinalities.  Lets callers ship pre-aggregated zone
     lists (unique (level, value) pairs with multiplicities) instead of one
-    row per zone.  keys: [B, A] float (+inf invalid); w: [B, A].
+    row per zone.  keys: [B, A] float (+inf invalid); w: [B, A], w >= 0.
     Returns (sorted_keys, sorted_w, group_sums, valid) aligned with the
-    sorted order."""
+    sorted order.
+
+    Gather-free on purpose: XLA's TPU gather lowering runs ~10 Melem/s,
+    and the former argsort + take_along_axis formulation was the single
+    hottest device cost of the whole *ALL* megakernel (~170 ms of a
+    ~205 ms slide program).  lax.sort carries the payload through the
+    sort, and the group sums come from segmented scans: a within-segment
+    cumsum followed by a reverse segmented max (valid because w >= 0
+    makes the segment cumsum nondecreasing)."""
     B, A = keys.shape
-    order = jnp.argsort(keys, axis=1)
-    ks = jnp.take_along_axis(keys, order, axis=1)
-    ws = jnp.take_along_axis(w, order, axis=1)
+    ks, ws = lax.sort((keys, w), dimension=1, num_keys=1)
     v = jnp.isfinite(ks)
-    idx = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32), (B, A))
     is_start = jnp.concatenate(
         [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1)
-    is_end = jnp.concatenate(
-        [ks[:, 1:] != ks[:, :-1], jnp.ones((B, 1), bool)], axis=1)
-    run_start = lax.cummax(jnp.where(is_start, idx, -1), axis=1)
-    run_end = lax.cummin(jnp.where(is_end, idx, A - 1), axis=1, reverse=True)
-    c = jnp.cumsum(ws, axis=1)
-    sums = (jnp.take_along_axis(c, run_end, axis=1)
-            - jnp.take_along_axis(c, run_start, axis=1)
-            + jnp.take_along_axis(ws, run_start, axis=1))
+    conn_prev = ~is_start           # element i joins i-1's segment
+    conn_next = jnp.concatenate(    # element i joins i+1's segment
+        [conn_prev[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+
+    def seg_sum_op(l, r):
+        lv, lc = l
+        rv, rc = r
+        return (jnp.where(rc, lv + rv, rv), lc & rc)
+
+    cum, _ = lax.associative_scan(seg_sum_op, (ws, conn_prev), axis=1)
+
+    def seg_max_op(l, r):
+        lv, lc = l
+        rv, rc = r
+        return (jnp.where(rc, jnp.maximum(lv, rv), rv), lc & rc)
+
+    sums, _ = lax.associative_scan(seg_max_op, (cum, conn_next), axis=1,
+                                   reverse=True)
     return ks, ws, jnp.where(v, sums, 0), v
 
 

@@ -33,6 +33,10 @@ def _compute_dtype(cfg: EngineConfig):
     return jnp.float64 if cfg.precision == "f64" else jnp.float32
 
 
+# tight per-slide transfer buffer (one H2D put per slide); disable to fall
+# back to dense padded-crop transfers (A/B testing, debugging)
+_FLAT_TRANSFER = True
+
 # layout side-channel: populated at trace time (once per process per
 # signature); maps each (family, member) to its column span in the packed
 # output.  Keyed by the packed function's static signature.
@@ -154,6 +158,117 @@ def _extract_pair_packed(bucket_args, families, cfg, static_meta=(),
         outs.append(jnp.concatenate(parts, axis=1) if parts
                     else jnp.zeros((ci.shape[0], 0), dt))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
+                                             "shape", "has_lw", "ci_u32",
+                                             "lw_u32", "layout_key"))
+def _extract_bucket_flat(buf, meta_i, meta_f, families, cfg, static_meta=(),
+                         shape=None, has_lw=False, ci_u32=False,
+                         lw_u32=False, layout_key=None):
+    """One bucket's feature extraction from the TIGHT per-slide transfer
+    buffer.
+
+    The tunneled H2D link moves fresh content at ~30 MB/s, so the padded
+    dense crops (bucket AABB + batch-axis quantization, ~2.7x the real
+    bytes on a nucleus slide) are replaced by ONE uint8 buffer per slide
+    holding each ROI's exact (h x w) crop back-to-back: intensity
+    (u16/u32 little-endian), raw squared contour distances (u16/u32), and
+    a per-ROI bit-packed mask.  This kernel gathers the bucket's padded
+    [Bq, hb, wb] crop planes back out of the buffer on device (the chip
+    is <10%% utilized; the link is the bound).
+
+    ``meta_i`` is [Bq, 8] int32: (area, y0, x0, h, w, ci_off_bytes,
+    lw_off_bytes, mask_off_bytes).  Batch-pad rows replicate row 0's meta
+    INCLUDING offsets, so they gather row 0's content without shipping a
+    single pad byte.  ``meta_f`` is [Bq, 5] as in the dense path."""
+    return _flat_block(buf, meta_i, meta_f, families, cfg, static_meta,
+                       shape, has_lw, ci_u32, lw_u32, layout_key)
+
+
+# universal slide program: fixed per-shape capacities (in chunk-cap units)
+# so EVERY nucleus-scale slide dispatches the SAME executable.  The tunneled
+# runtime charges ~30 ms of launch overhead PER EXECUTION of a large
+# program (measured: 6 warm bucket execs = 219 ms with 13 ms device busy),
+# so the whole slide fuses into ONE execution; unused capacity is pad rows
+# that ship zero bytes (the flat gather replicates row 0) and the output
+# row-gather keeps the D2H slab at the real row count.
+_UNIVERSAL_CAPS = ((16, 16, 256), (32, 32, 256), (64, 64, 64))
+
+
+@functools.partial(jax.jit, static_argnames=("families", "cfg", "static_meta",
+                                             "caps", "has_lw", "ci_u32",
+                                             "layout_key"))
+def _extract_slide_fused(buf, metas_i, metas_f, row_idx, families, cfg,
+                         static_meta=(), caps=_UNIVERSAL_CAPS, has_lw=False,
+                         ci_u32=False, layout_key=None):
+    """ONE execution per slide: every per-shape block of the universal
+    capacity ladder runs the full family set over the tight transfer
+    buffer, the blocks concatenate, and ``row_idx`` gathers the real rows
+    (quantized count) into the output slab."""
+    outs = []
+    for (hb, wb, cap), mi, mf in zip(caps, metas_i, metas_f):
+        outs.append(_flat_block(buf, mi, mf, families, cfg, static_meta,
+                                (hb, wb), has_lw, ci_u32,
+                                (hb - 1) ** 2 + (wb - 1) ** 2 >= 65536,
+                                layout_key))
+    allrows = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return allrows[row_idx]
+
+
+def _flat_block(buf, meta_i, meta_f, families, cfg, static_meta, shape,
+                has_lw, ci_u32, lw_u32, layout_key):
+    """Shared trace body: unpack one padded [Bq, hb, wb] block from the
+    tight buffer and run all families over it (see _extract_bucket_flat)."""
+    dt = meta_f.dtype
+    hb, wb = shape
+    u16 = jax.lax.bitcast_convert_type(buf.reshape(-1, 2), jnp.uint16)
+    h = meta_i[:, 3][:, None, None]
+    w = meta_i[:, 4][:, None, None]
+    yy = jnp.arange(hb, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(wb, dtype=jnp.int32)[None, None, :]
+    valid = (yy < h) & (xx < w)
+    p = jnp.where(valid, yy * w + xx, 0)
+
+    def gather16(off_bytes, wide):
+        base = off_bytes[:, None, None] >> 1
+        if wide:
+            lo = u16[base + 2 * p].astype(jnp.uint32)
+            hi = u16[base + 2 * p + 1].astype(jnp.uint32)
+            return lo | (hi << 16)
+        return u16[base + p]
+
+    ci = jnp.where(valid, gather16(meta_i[:, 5], ci_u32), 0).astype(dt)
+    mb = buf[meta_i[:, 7][:, None, None] + (p >> 3)].astype(jnp.int32)
+    cm = ((mb >> (7 - (p & 7))) & 1) != 0
+    cm = cm & valid
+    lw = None
+    if has_lw:
+        from ..ops.moments import WEIGHTING_EPSILON
+        d2 = jnp.where(valid, gather16(meta_i[:, 6], lw_u32), 0)
+        lw = jnp.log(jnp.sqrt(d2.astype(dt)) + jnp.asarray(
+            WEIGHTING_EPSILON, dt))
+    ctx = registry.BatchContext(
+        ci, cm, meta_i[:, 0], meta_f[:, 0], meta_f[:, 1],
+        meta_i[:, 1], meta_i[:, 2], meta_f[:, 2], meta_f[:, 3],
+        cfg, static_meta, heights=meta_i[:, 3], widths=meta_i[:, 4],
+        logw=lw, hu_offset=meta_f[:, 4])
+    out = {name: registry.FAMILIES[name].fn(ctx, cfg) for name in families}
+    parts = []
+    layout = {}
+    off = 0
+    for fam in sorted(out):
+        for member in sorted(out[fam]):
+            arr = out[fam][member]
+            a2 = arr[:, None] if arr.ndim == 1 else arr
+            layout[(fam, member)] = (off, a2.shape[1])
+            parts.append(a2.astype(dt))
+            off += a2.shape[1]
+    prev = _BUCKET_LAYOUTS.setdefault(layout_key, layout)
+    assert prev == layout, \
+        "bucket layout collision for key %r" % (layout_key,)
+    return (jnp.concatenate(parts, axis=1) if parts
+            else jnp.zeros((ci.shape[0], 0), dt))
 
 
 def _unpack_bucket(packed: np.ndarray, layout) -> dict:
@@ -463,18 +578,46 @@ class PairRunner:
         # 74 ms all-distinct) and add only device compute that is <10%%
         # utilized anyway
         _CHUNK_CAP = {8: 64, 16: 64, 32: 64, 64: 64, 128: 64, 256: 16}
+        dtype = _compute_dtype(self.cfg)
+
+        # decide the transfer scheme BEFORE batching: the tight flat-buffer
+        # path packs nucleus shapes at the universal program's block
+        # capacities (one EXECUTION per slide -- the tunneled runtime
+        # charges ~30 ms launch overhead per large-program execution)
+        lw_raw_pre = self.mesh is None and dtype == jnp.float32
+        int_tr = None
+        if self.mesh is None:
+            if resident is not None:
+                idt = resident[0].dtype
+                if idt.kind == "u":
+                    int_tr = np.uint16 if idt.itemsize <= 2 else np.uint32
+            elif getattr(source, "int_transfer_u32_ok", False):
+                int_tr = np.uint32
+        want_lw_pre = (registry.contour_needed(self.fset)
+                       and self._needs_logw)
+        flat_ok = (_FLAT_TRANSFER and self.mesh is None
+                   and int_tr is not None
+                   and (not want_lw_pre or lw_raw_pre))
+        _uni_cap = ({hb: cap for hb, _, cap in _UNIVERSAL_CAPS}
+                    if flat_ok else {})
+
         batches = []
         for shape, sub in batching.group_rois(
                 [recs[i] for i in triv_rows], hbm_budget_bytes=budget):
             rows_b = [triv_rows[j] for j in sub]
-            cap = (_CHUNK_CAP.get(max(shape))
-                   if self.mesh is None else None)
+            # shape-8 buckets ride the universal 16-block (same meta h/w,
+            # just more padding)
+            if flat_ok and max(shape) == 8 and 16 in _uni_cap:
+                shape = (16, 16)
+            cap = (_uni_cap.get(max(shape))
+                   if flat_ok and max(shape) in _uni_cap
+                   else (_CHUNK_CAP.get(max(shape))
+                         if self.mesh is None else None))
             if cap:
                 for c0 in range(0, len(rows_b), cap):
                     batches.append((shape, rows_b[c0:c0 + cap]))
             else:
                 batches.append((shape, rows_b))
-        dtype = _compute_dtype(self.cfg)
 
         # streamed mode gathers padded crops per batch on host; cache them
         # for the contour pass so regions are read once
@@ -557,7 +700,7 @@ class PairRunner:
         # lw ships as raw integer squared contour distances on the f32 lane
         # (u16/u32, log(sqrt(d2)+eps) taken on device); the f64 lane keeps
         # the host-computed log values bit-for-bit (parity pins)
-        lw_raw = self.mesh is None and dtype == jnp.float32
+        lw_raw = lw_raw_pre
         if (pre_host or post_host or self._needs_logw) and host_rows:
             rows = np.asarray(host_rows)
             over_local = frozenset(j for j, i in enumerate(host_rows)
@@ -620,18 +763,10 @@ class PairRunner:
             static_meta = (("max_int", ceil),)
         np_dt = np.float32 if dtype == jnp.float32 else np.float64
         want_lw = contours is not None and self._needs_logw
-        # transfer compression (fused path): the tunneled H2D link runs at
-        # ~0.1 GB/s cold, so intensity crops ship in the narrowest EXACT
-        # dtype (uint16/uint32 -> compute-dtype cast on device, identical
-        # IEEE rounding to the host cast) and masks ship bit-packed
-        int_tr = None
-        if self.mesh is None:
-            if resident is not None:
-                idt = resident[0].dtype
-                if idt.kind == "u":
-                    int_tr = np.uint16 if idt.itemsize <= 2 else np.uint32
-            elif getattr(source, "int_transfer_u32_ok", False):
-                int_tr = np.uint32
+        # transfer compression (fused path): intensity crops ship in the
+        # narrowest EXACT dtype (uint16/uint32 -> compute-dtype cast on
+        # device, identical IEEE rounding to the host cast), masks ship
+        # bit-packed; int_tr/flat_ok were decided before batching
 
         vlog(2, "\t%d ROI batches over %d trivial + %d oversized ROIs"
              % (len(batches), len(triv_rows), len(over_rows)))
@@ -714,6 +849,21 @@ class PairRunner:
 
         pending = []        # mesh path: (idxs, lkey, out)
         fused = []          # single-dispatch path: (idxs, device bucket args)
+        # tight-transfer path: the fresh-content H2D link is ~30 MB/s, so
+        # dense padded crops (bucket AABB + batch padding ~2.7x the real
+        # bytes) are replaced by ONE per-slide uint8 buffer of exact
+        # per-ROI crops; the universal slide program (or, for >64 px
+        # shapes, _extract_bucket_flat) gathers the padded planes back out
+        # on device.  flat_ok was decided before batching.
+        flat = []           # (idxs, shape, B, pad_b, meta_i9, meta_f)
+        flat_writes = []    # (byte_offset, uint8 bytes) into the buffer
+        flat_lw = []        # (idxs, shape, B, lw_off_bytes[B], lw_dt)
+        flat_cursor = [0]
+
+        def _flat_alloc(nbytes):
+            off = flat_cursor[0]
+            flat_cursor[0] = off + ((nbytes + 3) & ~3)   # 4-byte align
+            return off
         for shape, idxs in batches:
             sw_batch = stopwatch("Pipeline/Phase2_device_batches/#33cc77")
             sw_batch.__enter__()
@@ -725,7 +875,12 @@ class PairRunner:
             # the whole padded slide no longer needs transferring
             B = len(idxs)
             pad_b = 0
-            if self.mesh is None and max(hb, wb) <= 64:
+            if flat_ok and max(hb, wb) in _uni_cap:
+                # universal-program block: pad straight to the block
+                # capacity (pad rows replicate row 0 and ship ZERO bytes
+                # on the tight path)
+                pad_b = _uni_cap[max(hb, wb)] - B
+            elif self.mesh is None and max(hb, wb) <= 64:
                 # nucleus-scale buckets: pad the batch axis straight to the
                 # chunk cap -- ONE executable signature per bucket shape
                 # (pad rows replicate row 0, cheap on the wire and dropped
@@ -739,6 +894,66 @@ class PairRunner:
                 bq = max(8, 1 << (B - 1).bit_length())
                 pad_b = bq - B
             tr_dt = int_tr if int_tr is not None else np_dt
+            pad_recs = batch_recs + [batch_recs[0]] * pad_b
+            meta_i = np.asarray([[r.area, r.y0, r.x0, r.height, r.width]
+                                 for r in pad_recs], np.int32)
+            meta_f = np.asarray([[r.vmin, r.vmax, smin, smax, hu_offset]
+                                 for r in pad_recs], np_dt)
+            if flat_ok:
+                # tight sections: each ROI ships its exact (h x w) crop.
+                # Pixels the dense path shipped OUTSIDE the ROI's AABB
+                # (other slide content inside the bucket window) are
+                # masked off by every kernel anyway -- the reference's
+                # ImageMatrix is AABB-sized too (image_matrix.h)
+                lw_isz = 2 if (hb - 1) ** 2 + (wb - 1) ** 2 < 65536 else 4
+                ci_isz = np.dtype(int_tr).itemsize
+                offs = np.zeros((B + pad_b, 3), np.int32)
+                lw_offs = np.zeros(B, np.int32)
+                for bi, i in enumerate(idxs):
+                    r = recs[i]
+                    h_t, w_t = r.height, r.width
+                    npx = h_t * w_t
+                    if resident is not None:
+                        intens_r, label_r = resident
+                        H, W = label_r.shape
+                        h_av = max(0, min(h_t, H - r.y0))
+                        w_av = max(0, min(w_t, W - r.x0))
+                        sl = (slice(r.y0, r.y0 + h_av),
+                              slice(r.x0, r.x0 + w_av))
+                        if (h_av, w_av) == (h_t, w_t):
+                            ci_t = intens_r[sl]
+                            cm_t = label_r[sl] == r.label
+                        else:
+                            ci_t = np.zeros((h_t, w_t), tr_dt)
+                            cm_t = np.zeros((h_t, w_t), bool)
+                            ci_t[:h_av, :w_av] = intens_r[sl]
+                            cm_t[:h_av, :w_av] = label_r[sl] == r.label
+                    else:
+                        ii, ll = padded_crop(i, hb, wb)
+                        ci_t = ii[:h_t, :w_t]
+                        cm_t = ll[:h_t, :w_t] == r.label
+                    o_ci = _flat_alloc(npx * ci_isz)
+                    flat_writes.append((o_ci, np.ascontiguousarray(
+                        ci_t, dtype=tr_dt).view(np.uint8).ravel()))
+                    mbits = np.packbits(np.ascontiguousarray(cm_t).ravel())
+                    o_m = _flat_alloc(mbits.nbytes)
+                    flat_writes.append((o_m, mbits))
+                    o_lw = _flat_alloc(npx * lw_isz) if want_lw else 0
+                    offs[bi] = (o_ci, o_lw, o_m)
+                    lw_offs[bi] = o_lw
+                if pad_b:
+                    offs[B:] = offs[0]
+                flat.append((idxs, shape, B, pad_b,
+                             np.hstack([meta_i, offs]).astype(np.int32),
+                             meta_f))
+                if want_lw:
+                    flat_lw.append((idxs, shape, B, lw_offs,
+                                    np.uint16 if lw_isz == 2 else np.uint32))
+                for i in idxs:
+                    crop_cache.pop((i,) + shape, None)
+                sw_batch.__exit__()
+                vlog(3, "\t\tbatch %dx%dx%d packed tight" % (B, *shape))
+                continue
             ci_h = np.zeros((B + pad_b, hb, wb), tr_dt)
             cm_h = np.zeros((B + pad_b, hb, wb), bool)
             if resident is not None:
@@ -756,14 +971,9 @@ class PairRunner:
                     ii, ll = padded_crop(i, hb, wb)
                     ci_h[bi] = ii
                     cm_h[bi] = ll == recs[i].label
-            pad_recs = batch_recs + [batch_recs[0]] * pad_b
             if pad_b:
                 ci_h[B:] = ci_h[0]
                 cm_h[B:] = cm_h[0]
-            meta_i = np.asarray([[r.area, r.y0, r.x0, r.height, r.width]
-                                 for r in pad_recs], np.int32)
-            meta_f = np.asarray([[r.vmin, r.vmax, smin, smax, hu_offset]
-                                 for r in pad_recs], np_dt)
 
             lw_h = None
             if want_lw and self.mesh is not None:
@@ -844,14 +1054,8 @@ class PairRunner:
                                        tuple(a[0].shape), want_lw)
                     out = _extract_pair_packed((a,), self.families, self.cfg,
                                                static_meta, layout_key=lkey)
-                    try:
-                        # start the D2H copy as soon as execution finishes:
-                        # the fetch overlaps later buckets' compute, the
-                        # host geometry pass, and (in the pipelined file
-                        # path) the next slide's host stages
-                        out.copy_to_host_async()
-                    except Exception:
-                        pass
+                    # D2H happens once per slide via the concatenated slab
+                    # below (copy_to_host_async there)
                     return idxs_b, lkey, out
 
                 if len(fused) > 1:
@@ -864,6 +1068,110 @@ class PairRunner:
                         fused_outs = list(dex.map(dispatch, fused))
                 else:
                     fused_outs = [dispatch(fused[0])]
+
+        if flat:
+            with stopwatch("Pipeline/Phase2_device_batches/#33cc77"):
+                if want_lw:
+                    if fut_logw is not None:
+                        fut_logw.result()
+                        fut_logw = None
+                total = flat_cursor[0]
+                Lq = 1 << max(16, (max(total, 2) - 1).bit_length())
+                buf_np = np.zeros(Lq, np.uint8)
+                for off, bts in flat_writes:
+                    buf_np[off:off + bts.nbytes] = bts
+                if flat_lw:
+                    self._fill_lw_tight(buf_np, flat_lw, recs, hc, hrow_pos,
+                                        contours, source, lw_raw)
+                # ONE H2D put per slide: every bucket kernel gathers its
+                # padded planes from this buffer on device
+                buf_dev = jnp.asarray(buf_np)
+                ci_u32 = np.dtype(int_tr).itemsize == 4
+
+                # pack universal-block entries into as few executions of
+                # the ONE universal slide program as possible; leftover
+                # shapes (>64 px) dispatch per-bucket
+                uni_shapes = [(hb2, wb2) for hb2, wb2, _ in _UNIVERSAL_CAPS]
+                uni_lists = {s: [] for s in uni_shapes}
+                others = []
+                for e in flat:
+                    s = tuple(e[1])
+                    if s in uni_lists:
+                        uni_lists[s].append(e)
+                    else:
+                        others.append(e)
+                n_exec = max((len(v) for v in uni_lists.values()),
+                             default=0)
+                lkey_uni = ("uni", _UNIVERSAL_CAPS, self.families,
+                            self.cfg, static_meta, want_lw)
+                dtf = np.float32 if dtype == jnp.float32 else np.float64
+                for k in range(n_exec):
+                    metas_i, metas_f, ridx_parts, idx_list = [], [], [], []
+                    base = 0
+                    for (hb2, wb2, cap) in _UNIVERSAL_CAPS:
+                        lst = uni_lists[(hb2, wb2)]
+                        if k < len(lst):
+                            idxs_b, _s, B_b, _p, mi9, mf = lst[k]
+                            metas_i.append(mi9)
+                            metas_f.append(mf)
+                            ridx_parts.append(base + np.arange(B_b,
+                                                               dtype=np.int32))
+                            idx_list.extend(idxs_b)
+                        else:
+                            dummy = np.zeros((cap, 8), np.int32)
+                            dummy[:, 3] = 1     # h=w=1 -> gathers byte 0
+                            dummy[:, 4] = 1
+                            metas_i.append(dummy)
+                            metas_f.append(np.zeros((cap, 5), dtf))
+                        base += cap
+                    ridx = np.concatenate(ridx_parts)
+                    nq = next(q for q in (128, 320, 576)
+                              if q >= len(ridx))
+                    ridx = np.concatenate(
+                        [ridx, np.full(nq - len(ridx), ridx[0], np.int32)])
+                    out = _extract_slide_fused(
+                        buf_dev,
+                        tuple(jnp.asarray(m) for m in metas_i),
+                        tuple(jnp.asarray(m) for m in metas_f),
+                        jnp.asarray(ridx), self.families, self.cfg,
+                        static_meta, caps=_UNIVERSAL_CAPS, has_lw=want_lw,
+                        ci_u32=ci_u32, layout_key=lkey_uni)
+                    fused_outs.append((idx_list, lkey_uni, out))
+
+                def dispatch_flat(entry):
+                    idxs_b, shape_b, B_b, pad_b_b, mi9, mf = entry
+                    Bq = mi9.shape[0]
+                    lkey = _bucket_key(self.families, self.cfg, static_meta,
+                                       (Bq,) + tuple(shape_b), want_lw)
+                    hb2, wb2 = shape_b
+                    out = _extract_bucket_flat(
+                        buf_dev, jnp.asarray(mi9), jnp.asarray(mf),
+                        self.families, self.cfg, static_meta,
+                        shape=tuple(shape_b), has_lw=want_lw,
+                        ci_u32=ci_u32,
+                        lw_u32=(hb2 - 1) ** 2 + (wb2 - 1) ** 2 >= 65536,
+                        layout_key=lkey)
+                    return idxs_b, lkey, out
+
+                if len(others) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(len(others)) as dex:
+                        fused_outs.extend(dex.map(dispatch_flat, others))
+                elif others:
+                    fused_outs.append(dispatch_flat(others[0]))
+
+        fused_slab = None
+        if fused_outs:
+            # ONE D2H per slide: concatenate the per-bucket packed outputs
+            # device-side (every bucket shares the same layout width) and
+            # start a single async host copy; finish() slices rows back out
+            outs_ = [o for _, _, o in fused_outs]
+            fused_slab = (jnp.concatenate(outs_, axis=0)
+                          if len(outs_) > 1 else outs_[0])
+            try:
+                fused_slab.copy_to_host_async()
+            except Exception:
+                pass
 
         # pre-collect host families: their declared deps avoid any
         # device-computed member, so they run while the dispatched device
@@ -907,12 +1215,15 @@ class PairRunner:
             with THIS pair's (asynchronous) device execution."""
             with stopwatch("Pipeline/Phase2_collect/#33aa99"):
                 if fused_outs:
-                    fetched = jax.device_get([o for _, _, o in fused_outs])
-                    for (idxs, lkey, _), packed in zip(fused_outs, fetched):
+                    packed_all = np.asarray(fused_slab)
+                    row = 0
+                    for idxs, lkey, o in fused_outs:
+                        packed = packed_all[row:row + o.shape[0]]
+                        row += o.shape[0]
                         src, dst = self._colmap(lkey)
                         # one fancy-index instead of ~750 per-member scatters
                         values[np.ix_(np.asarray(idxs), dst)] = \
-                            np.asarray(packed)[:len(idxs)][:, src]
+                            packed[:len(idxs)][:, src]
                 if pending:
                     fetched = jax.device_get([out for _, _, out in pending])
                     for (idxs, lkey, _), packed in zip(pending, fetched):
@@ -983,6 +1294,62 @@ class PairRunner:
         if async_collect:
             return labs_all, finish
         return labs_all, finish()
+
+    @staticmethod
+    def _fill_lw_tight(buf_np, flat_lw, recs, hc, hrow_pos, contours,
+                       source, lw_raw):
+        """Write raw squared contour distances (pixel.cpp:36-71 approximate
+        min over the ordered contour) into the tight transfer buffer's
+        per-ROI lw sections.  Values only at mask pixels; the rest stays 0
+        and becomes log(eps) on device, matching the dense path."""
+        from .. import native
+        u16v = buf_np.view(np.uint16)
+        u32v = buf_np.view(np.uint32)
+        have_flat = (hc is not None
+                     and getattr(hc, "logw_flat", None) is not None
+                     and getattr(hc, "logw_flat_is_d2", False))
+        for idxs_b, _shape_b, B_b, lw_offs, lw_dt in flat_lw:
+            view, esz = (u16v, 2) if lw_dt == np.uint16 else (u32v, 4)
+            if have_flat:
+                gx, gy, _, coff = hc.clouds
+                lwf = hc.logw_flat
+                idx_parts, val_parts = [], []
+                for bi in range(B_b):
+                    i = idxs_b[bi]
+                    j = hrow_pos.get(i)
+                    if j is None:
+                        continue
+                    a, b = int(coff[j]), int(coff[j + 1])
+                    if b <= a:
+                        continue
+                    r = recs[i]
+                    base = lw_offs[bi] // esz
+                    idx_parts.append(base + (gy[a:b] - r.y0) * r.width
+                                     + (gx[a:b] - r.x0))
+                    val_parts.append(lwf[a:b])
+                if idx_parts:
+                    view[np.concatenate(idx_parts)] = \
+                        np.concatenate(val_parts).astype(lw_dt)
+            else:
+                from ..ops.moments import WEIGHTING_EPSILON  # noqa: F401
+                for bi in range(B_b):
+                    i = idxs_b[bi]
+                    K = contours[i] if contours is not None else None
+                    if K is None or K.shape[0] == 0:
+                        continue
+                    r = recs[i]
+                    ii_c, ll_c = source.read_pair(r.y0, r.x0,
+                                                  r.height, r.width)
+                    ys_i, xs_i = np.nonzero(ll_c == r.label)
+                    if len(ys_i) == 0:
+                        continue
+                    mind2, _ = native.contour_sqdist_approx(
+                        xs_i.astype(np.float64), ys_i.astype(np.float64),
+                        K[:, 0].astype(np.float64),
+                        K[:, 1].astype(np.float64))
+                    base = lw_offs[bi] // esz
+                    view[base + ys_i * r.width + xs_i] = \
+                        mind2.astype(lw_dt)
 
     def _colmap(self, lkey):
         """(src cols in the packed layout, dst cols in the value matrix)

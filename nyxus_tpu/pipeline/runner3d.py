@@ -105,6 +105,60 @@ def discover_rois_3d(intens: np.ndarray, labels: np.ndarray):
     return recs, float(intens.min()), float(intens.max())
 
 
+def discover_rois_3d_streamed(intens, labels):
+    """Per-z-plane accumulation variant of discover_rois_3d for lazy
+    (layout-A) stacks: one decoded plane in flight, identical results.
+    Mirrors the reference's slice-streamed 2.5D phase 1
+    (phase1.cpp:130 gatherRoisMetrics_25D)."""
+    D, H, W = labels.shape
+    agg = {}    # label -> [area, z0, z1, y0, y1, x0, x1, vmin, vmax]
+    smin, smax = np.inf, -np.inf
+    for z in range(D):
+        lab2 = np.asarray(labels[z])
+        int2 = np.asarray(intens[z])
+        smin = min(smin, float(int2.min()))
+        smax = max(smax, float(int2.max()))
+        ys, xs = np.nonzero(lab2)
+        if ys.size == 0:
+            continue
+        labs = lab2[ys, xs]
+        vals = int2[ys, xs].astype(np.float64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        k = uniq.size
+        area = np.bincount(inv, minlength=k)
+        vmin = np.full(k, np.inf)
+        vmax = np.full(k, -np.inf)
+        np.minimum.at(vmin, inv, vals)
+        np.maximum.at(vmax, inv, vals)
+        y0 = np.full(k, H, np.int64)
+        y1 = np.full(k, -1, np.int64)
+        x0 = np.full(k, W, np.int64)
+        x1 = np.full(k, -1, np.int64)
+        np.minimum.at(y0, inv, ys)
+        np.maximum.at(y1, inv, ys)
+        np.minimum.at(x0, inv, xs)
+        np.maximum.at(x1, inv, xs)
+        for i in range(k):
+            lb = int(uniq[i])
+            a = agg.get(lb)
+            if a is None:
+                agg[lb] = [int(area[i]), z, z, int(y0[i]), int(y1[i]),
+                           int(x0[i]), int(x1[i]), float(vmin[i]),
+                           float(vmax[i])]
+            else:
+                a[0] += int(area[i])
+                a[2] = z
+                a[3] = min(a[3], int(y0[i]))
+                a[4] = max(a[4], int(y1[i]))
+                a[5] = min(a[5], int(x0[i]))
+                a[6] = max(a[6], int(x1[i]))
+                a[7] = min(a[7], float(vmin[i]))
+                a[8] = max(a[8], float(vmax[i]))
+    recs = [Roi3D(lb, a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], a[8])
+            for lb, a in sorted(agg.items())]
+    return recs, float(smin), float(smax)
+
+
 class Ctx3D:
     def __init__(self, intens, mask, area, vmin, vmax, dd, hh, ww, cfg,
                  static_meta=(), slide_range=None, cloud_area=None,
@@ -318,10 +372,21 @@ class VolumeRunner:
 
     def run(self, intens: np.ndarray, label_img: np.ndarray,
             wholeslide: bool = False):
+        # lazy (layout-A streamed) stacks: per-plane discovery, host-side
+        # crop assembly, per-z oversized pass -- the stack never fully
+        # materializes (reference: phase1.cpp:130, phase2_25d.cpp)
+        lazy = not isinstance(intens, np.ndarray)
+        if lazy and (self.cfg.mergerois or self.cfg.aniso_customized
+                     or abs(self.cfg.aniso_z - 1.0) > 1.2e-07):
+            raise ValueError("streamed 2.5D stacks do not support "
+                             "mergerois/anisotropy; raise ram_limit to "
+                             "materialize the stack")
         if self.cfg.mergerois:
             # --mergerois: whole nonzero foreground is one ROI
             label_img = (label_img != 0).astype(label_img.dtype)
-        recs, smin, smax = discover_rois_3d(intens, label_img)
+        recs, smin, smax = (discover_rois_3d_streamed(intens, label_img)
+                            if lazy else
+                            discover_rois_3d(intens, label_img))
         if wholeslide and len(recs) == 1:
             # whole-volume vROI: INCLUSIVE one-past AABB 0..D,0..H,0..W
             # (init_from_whd, aabb.h:61-69) -- the last plane/row/col of
@@ -423,13 +488,16 @@ class VolumeRunner:
         maxd = max(s[0] for s in buckets)
         maxh = max(s[1] for s in buckets)
         maxw = max(s[2] for s in buckets)
-        pi = np.zeros((intens.shape[0] + maxd, intens.shape[1] + maxh,
-                       intens.shape[2] + maxw), np.float32 if dtype == jnp.float32 else np.float64)
-        pl = np.zeros(pi.shape, np.int32)
-        pi[:intens.shape[0], :intens.shape[1], :intens.shape[2]] = intens
-        pl[:intens.shape[0], :intens.shape[1], :intens.shape[2]] = label_img
-        d_int = jnp.asarray(pi)
-        d_lab = jnp.asarray(pl)
+        if not lazy:
+            pi = np.zeros((intens.shape[0] + maxd, intens.shape[1] + maxh,
+                           intens.shape[2] + maxw),
+                          np.float32 if dtype == jnp.float32 else np.float64)
+            pl = np.zeros(pi.shape, np.int32)
+            pi[:intens.shape[0], :intens.shape[1], :intens.shape[2]] = intens
+            pl[:intens.shape[0], :intens.shape[1],
+               :intens.shape[2]] = label_img
+            d_int = jnp.asarray(pi)
+            d_lab = jnp.asarray(pl)
 
         dispatched = []
         for shape, idxs in sorted(buckets.items()):
@@ -441,17 +509,45 @@ class VolumeRunner:
                 B = len(brecs)
                 bq = max(4, 1 << (B - 1).bit_length())
                 brecs = brecs + [brecs[0]] * (bq - B)
-            z0 = jnp.asarray([r.z0 for r in brecs], jnp.int32)
-            y0 = jnp.asarray([r.y0 for r in brecs], jnp.int32)
-            x0 = jnp.asarray([r.x0 for r in brecs], jnp.int32)
-            labsv = jnp.asarray([r.label for r in brecs], jnp.int32)
+            if lazy:
+                # host-side crop assembly: decode planes through the
+                # stack's LRU; only the ROI crops ship to the device
+                np_dt = np.float32 if dtype == jnp.float32 else np.float64
+                B_all = len(brecs)
+                B_real = len(idxs)
+                ci_h = np.zeros((B_all,) + shape, np_dt)
+                cm_h = np.zeros((B_all,) + shape, bool)
+                D_, H_, W_ = intens.shape
+                order = sorted(range(B_real), key=lambda b: brecs[b].z0)
+                for bi in order:
+                    r = brecs[bi]
+                    yend = min(r.y0 + shape[1], H_)
+                    xend = min(r.x0 + shape[2], W_)
+                    for zz in range(r.z0, min(r.z0 + shape[0], D_)):
+                        pi2 = np.asarray(intens[zz])
+                        pl2 = np.asarray(label_img[zz])
+                        sl = (slice(r.y0, yend), slice(r.x0, xend))
+                        ci_h[bi, zz - r.z0, :yend - r.y0,
+                             :xend - r.x0] = pi2[sl]
+                        cm_h[bi, zz - r.z0, :yend - r.y0,
+                             :xend - r.x0] = pl2[sl] == r.label
+                if B_all > B_real:          # pad rows replicate ROI 0
+                    ci_h[B_real:] = ci_h[0]
+                    cm_h[B_real:] = cm_h[0]
+                ci = jnp.asarray(ci_h)
+                cm = jnp.asarray(cm_h)
+            else:
+                z0 = jnp.asarray([r.z0 for r in brecs], jnp.int32)
+                y0 = jnp.asarray([r.y0 for r in brecs], jnp.int32)
+                x0 = jnp.asarray([r.x0 for r in brecs], jnp.int32)
+                labsv = jnp.asarray([r.label for r in brecs], jnp.int32)
 
-            def one(z, y, x, lab):
-                ci = jax.lax.dynamic_slice(d_int, (z, y, x), shape)
-                cl = jax.lax.dynamic_slice(d_lab, (z, y, x), shape)
-                return ci.astype(dtype), cl == lab
+                def one(z, y, x, lab):
+                    ci = jax.lax.dynamic_slice(d_int, (z, y, x), shape)
+                    cl = jax.lax.dynamic_slice(d_lab, (z, y, x), shape)
+                    return ci.astype(dtype), cl == lab
 
-            ci, cm = jax.vmap(one)(z0, y0, x0, labsv)
+                ci, cm = jax.vmap(one)(z0, y0, x0, labsv)
             area = jnp.asarray([r.area for r in brecs], jnp.int32)
             carea = jnp.asarray([r.cloud_area if r.cloud_area is not None
                                  else r.area for r in brecs], jnp.int32)

@@ -200,3 +200,57 @@ def test_timing_in_pipeline():
     finally:
         Stopwatch.enable(False)
         Stopwatch.reset()
+
+
+def test_25d_zstack_ram_gated_stream(tmp_path):
+    """Forced-streamed 2.5D: an over-RAM-gate layout-A z-stack must stream
+    per slice (LayoutAStack lazy volume; the whole stack never np.stacks)
+    and produce the exact resident-path results, including an oversized
+    ROI that exercises the per-z phase-3 pass (reference tile-streams
+    2.5D like 2D: phase1.cpp:130 gatherRoisMetrics_25D, phase2_25d.cpp)."""
+    from nyxus_tpu import Nyxus3D
+    from nyxus_tpu.pipeline import sources as src_mod
+
+    r = np.random.default_rng(9)
+    Z, H, W = 6, 96, 96                 # 6*96*96*16 B > the 1 MB gate/2
+    ivol = r.integers(1, 900, (Z, H, W)).astype(np.uint16)
+    lvol = np.zeros((Z, H, W), np.uint16)
+    lvol[1:4, 8:28, 10:40] = 2          # trivial ROI
+    lvol[0:6, 34:90, 4:88] = 7          # big ROI -> oversized under tiny gate
+    int_dir = tmp_path / "int"
+    seg_dir = tmp_path / "seg"
+    int_dir.mkdir()
+    seg_dir.mkdir()
+    for z in range(Z):
+        readers.write_gray(str(int_dir / ("vol1_z0%d.tif" % z)), ivol[z])
+        readers.write_gray(str(seg_dir / ("vol1_z0%d.tif" % z)), lvol[z])
+
+    feats = ["*3D_ALL*"]
+    ref = Nyxus3D(feats, precision="f64").featurize([ivol], [lvol])
+
+    # gate: stack footprint 6*56*72*16 = 387 KB > (1 MB // 2) -> streams
+    n_lazy = []
+    orig_plane = src_mod.LayoutAStack.plane
+
+    def counting_plane(self, z, ch):
+        n_lazy.append(z)
+        return orig_plane(self, z, ch)
+
+    src_mod.LayoutAStack.plane = counting_plane
+    try:
+        df = Nyxus3D(feats, ram_limit=1,
+                     precision="f64").featurize_directory(
+            str(int_dir), str(seg_dir),
+            file_pattern="vol{d+}_z{set d+}.tif")
+    finally:
+        src_mod.LayoutAStack.plane = orig_plane
+    assert n_lazy, "RAM gate did not route through the lazy stack"
+
+    assert list(df.ROI_label) == list(ref.ROI_label) == [2, 7]
+    for c in df.columns[4:]:
+        a = df[c].to_numpy(float)
+        b = ref[c].to_numpy(float)
+        # same tolerance story as the 2D trivial-vs-streamed pins
+        # (tests/test_oversized.py): FMA'd binning can flip one boundary
+        # voxel's bin in the fused kernel vs the streamed numpy pass
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-9, err_msg=c)
