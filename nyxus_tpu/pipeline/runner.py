@@ -1076,7 +1076,12 @@ class PairRunner:
                         fut_logw.result()
                         fut_logw = None
                 total = flat_cursor[0]
-                Lq = 1 << max(16, (max(total, 2) - 1).bit_length())
+                # 2 MB floor: the buffer length is part of every flat
+                # kernel's compile signature, and zero padding is ~free on
+                # the wire (the tunnel dedupes repeated content), so one
+                # shared size serves every dense slide and the signature
+                # set stays ONE per (shape-set, Nq)
+                Lq = 1 << max(21, (max(total, 2) - 1).bit_length())
                 buf_np = np.zeros(Lq, np.uint8)
                 for off, bts in flat_writes:
                     buf_np[off:off + bts.nbytes] = bts

@@ -162,3 +162,34 @@ def test_imagequality_file_surface(tmp_path):
     df2 = iq.featurize_files(files, None, single_roi=True)
     assert len(df2) == 2
     assert iq.get_params()["features"] == ["*ALL_IMQ*"]
+
+
+def test_imq_anisotropy_virtual_slide():
+    """IMQ under --anisox/--anisoy: like every family, the IMQ features
+    read the NN-resampled VIRTUAL slide (reference: the virtual-slide
+    rescan applies to all families, phase2_2d.cpp:183-285; aniso map is
+    truncation+clamp).  Oracle: resample the image with the engine's own
+    index map and run the plain (non-aniso) engine on it -- the 6 IMQ
+    columns must agree exactly."""
+    r = np.random.default_rng(31)
+    img = r.integers(0, 3000, (40, 52)).astype(np.uint16)
+
+    # whole-image quality (the ImageQuality default: one ROI covering the
+    # slide) so the scaled AABB and the natural virtual AABB coincide and
+    # the oracle needs no AABB-rounding reproduction
+    ax, ay = 2.0, 1.5
+    got = ImageQuality(anisotropy_x=ax, anisotropy_y=ay).featurize(img)
+
+    H, W = img.shape
+    vH, vW = int(H * ay), int(W * ax)
+    pr = np.minimum((np.arange(vH) / ay).astype(np.int64), H - 1)
+    pc = np.minimum((np.arange(vW) / ax).astype(np.int64), W - 1)
+    vimg = np.ascontiguousarray(img[pr][:, pc])
+    want = ImageQuality().featurize(vimg)
+
+    assert list(got.ROI_label) == list(want.ROI_label)
+    for c in ("FOCUS_SCORE", "LOCAL_FOCUS_SCORE", "POWER_SPECTRUM_SLOPE",
+              "MIN_SATURATION", "MAX_SATURATION", "SHARPNESS"):
+        np.testing.assert_allclose(got[c].to_numpy(float),
+                                   want[c].to_numpy(float),
+                                   rtol=1e-12, atol=0, err_msg=c)

@@ -160,3 +160,50 @@ def test_ngldm3d(extracted):
         for m, want in ref.items():
             assert row["3" + m] == pytest.approx(want, rel=_rtol(m, RTOL), abs=1e-9), \
                 ("3" + m, lab)
+
+
+def test_3d_wholevolume_intensity_numpy_oracle():
+    """Whole-volume (singleROI) 3D voxel-intensity features vs the direct
+    numpy oracle.  The reference binary ABORTS on
+    D3_VoxelIntensityFeatures in whole-volume mode ("illegal call of
+    D3_VoxelIntensityFeatures::reduce", reduce_trivial_rois.cpp:657-707
+    has no wholevolume branch for it), so this cell cannot be
+    binary-pinned; the engine computes the natural semantic -- the stats
+    of every voxel of the volume (the one-past pad plane of the vROI cube
+    stays outside the mask) -- and is pinned here against
+    oracle_intensity.intensity_features."""
+    import oracle_intensity as oi
+
+    r = np.random.default_rng(6)
+    vol = r.integers(1, 900, (14, 18, 20)).astype(np.uint16)
+    names = ["3COV", "3COVERED_IMAGE_INTENSITY_RANGE", "3ENERGY",
+             "3ENTROPY", "3EXCESS_KURTOSIS", "3HYPERFLATNESS",
+             "3HYPERSKEWNESS", "3INTEGRATED_INTENSITY",
+             "3INTERQUARTILE_RANGE", "3KURTOSIS", "3MAX", "3MEAN",
+             "3MEAN_ABSOLUTE_DEVIATION", "3MEDIAN",
+             "3MEDIAN_ABSOLUTE_DEVIATION", "3MIN", "3MODE", "3P01",
+             "3P10", "3P25", "3P75", "3P90", "3P99", "3QCOD", "3RANGE",
+             "3ROBUST_MEAN", "3ROBUST_MEAN_ABSOLUTE_DEVIATION",
+             "3ROOT_MEAN_SQUARED", "3SKEWNESS", "3STANDARD_DEVIATION",
+             "3STANDARD_DEVIATION_BIASED", "3STANDARD_ERROR",
+             "3UNIFORMITY", "3UNIFORMITY_PIU", "3VARIANCE",
+             "3VARIANCE_BIASED"]
+    cfg = EngineConfig(precision="f64")
+    fset = tx.parse_feature_request(names, dim=3)
+    runner = VolumeRunner(fset, cfg)
+    labs, values = runner.run(vol, np.ones(vol.shape, np.int32),
+                              wholeslide=True)
+    hdr, _ = col.build_header(fset, cfg)
+    got = dict(zip(hdr[4:], values[0]))
+    v = vol.astype(np.float64).ravel()
+    exp = oi.intensity_features(v, float(v.max() - v.min()),
+                                cfg.coarse_gray_depth)
+    n_checked = 0
+    for name in names:
+        key = name[1:]
+        if key not in exp or name not in got:
+            continue
+        np.testing.assert_allclose(got[name], exp[key], rtol=1e-9,
+                                   atol=1e-12, err_msg=name)
+        n_checked += 1
+    assert n_checked >= 30, n_checked

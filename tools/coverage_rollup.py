@@ -119,11 +119,15 @@ FUNC_CONFIGS = {
         "test_3d_ibsi_reference_binary_parity": ("ibsi",),
         "test_3d_hu_reference_binary_parity": ("hu",),
     },
+    "test_texture3d.py": {
+        "test_3d_wholevolume_intensity_numpy_oracle": ("wholeslide",),
+    },
     "test_imq.py": {
         "test_imq_oversized_streamed_parity": ("oversized",),
         "test_imq_oversized_small_blocks": ("oversized",),
         "test_imq_config_invariance_and_hu": ("ibsi", "radiomics-bin",
                                               "hu", "wholeslide"),
+        "test_imq_anisotropy_virtual_slide": ("aniso",),
     },
 }
 

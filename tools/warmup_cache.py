@@ -1,17 +1,16 @@
 #!/usr/bin/env python3
-"""Precompile the standard bucket ladder into the persistent compile cache.
+"""Precompile the production executable ladder into the persistent cache.
 
-One-time (per machine / per engine version) warmup: compiles the *ALL*
-megakernel for the standard (Bq, h, w) bucket signatures so a production
-run's time-to-first-row is trace + cache-load only (runner.py dispatches
-one executable per bucket; chunk caps bound the signature space, so this
-ladder COVERS dense 2D slides of any ROI population).
+One-time (per machine / per engine version) warmup: drives the REAL
+runner over synthetic slides so every executable a production run needs is
+compiled and cached -- the universal slide program at each output-row
+quantum (Nq 128/320/576 at the shared 2 MB buffer signature), the >64 px
+per-bucket flat kernels, and (with --full) the common feature-group
+subsets and the f64 lane.  A fresh process afterwards reaches its first
+row at cache-load speed (COMPILE_TIMES.json tracks both costs).
 
 Usage:
     python tools/warmup_cache.py [--full] [--precision f32|f64]
-
-Default ladder: nucleus-scale shapes (16/32/64) x batch sizes (64/128/256)
-plus the small-batch tails; --full adds the 128/256-pixel shapes.
 """
 
 import argparse
@@ -30,55 +29,62 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 import numpy as np  # noqa: E402
 
 
-def warm(shapes, precision):
+def make_slide(n_blobs, seed=0, h=1024, w=1024, big=False):
+    """Nucleus-scale synthetic slide; ``big`` adds one 128-bucket ROI so
+    the per-bucket flat kernel path warms too."""
+    r = np.random.default_rng(seed)
+    labels = np.zeros((h, w), np.int32)
+    intens = r.integers(1, 40000, (h, w)).astype(np.uint16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    lab = 1
+    for _ in range(n_blobs):
+        cy, cx = r.uniform(12, h - 12), r.uniform(12, w - 12)
+        ry, rx = r.uniform(4, 18), r.uniform(4, 18)
+        m = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0) \
+            & (labels == 0)
+        if m.sum() < 12:
+            continue
+        labels[m] = lab
+        lab += 1
+    if big:
+        labels[8:128, 820:1010] = lab
+    return intens, labels
+
+
+def warm(precision, feats, tag):
     from nyxus_tpu import taxonomy as tx
     from nyxus_tpu.config import EngineConfig
-    import nyxus_tpu.pipeline.runner as rmod
+    from nyxus_tpu.pipeline.runner import PairRunner
 
-    cfg = EngineConfig(precision=precision)
-    runner = rmod.PairRunner(tx.parse_feature_request(["*ALL*"]), cfg)
-    np_dt = np.float32 if precision == "f32" else np.float64
-    rng = np.random.default_rng(0)
-    for (B, H, W) in shapes:
+    runner = PairRunner(tx.parse_feature_request(feats),
+                        EngineConfig(precision=precision))
+    # Nq quanta: <=128, <=320, <=576 real rows per universal execution
+    for n_blobs, big, seed in ((60, False, 1), (300, True, 2), (560, False, 3)):
         t0 = time.perf_counter()
-        ci = rng.integers(1, 40000, (B, H, W)).astype(np.uint16)
-        cm = np.zeros((B, H, W), bool)
-        yy, xx = np.mgrid[0:H, 0:W]
-        cm[:, ((yy - H // 2) ** 2 + (xx - W // 2) ** 2)
-           <= (H // 2 - 1) ** 2] = True
-        meta_i = np.tile(np.asarray(
-            [[int(cm[0].sum()), 0, 0, H, W]], np.int32), (B, 1))
-        meta_f = np.tile(np.asarray(
-            [[1.0, 40000.0, 1.0, 40000.0, 0.0]], np_dt), (B, 1))
-        d2 = rng.integers(0, (H - 1) ** 2, (B, H, W))
-        lw = (d2.astype(np.uint16) if precision == "f32"
-              else np.log(np.sqrt(d2.astype(np.float64)) + 1e-2))
-        import jax.numpy as jnp
-        args = (jnp.asarray(ci), jnp.asarray(np.packbits(cm, axis=2)),
-                jnp.asarray(meta_i), jnp.asarray(meta_f), jnp.asarray(lw))
-        lkey = rmod._bucket_key(runner.families, cfg, (),
-                                (B, H, W), True)
-        out = rmod._extract_pair_packed((args,), runner.families, cfg, (),
-                                        layout_key=lkey)
-        jax.block_until_ready(out)
-        print("warmed (%3d, %3d, %3d): %.1f s"
-              % (B, H, W, time.perf_counter() - t0))
+        runner.run(*make_slide(n_blobs, seed=seed, big=big))
+        print("warmed %-18s %3d-ROI slide (%s): %.1f s"
+              % (tag, n_blobs, precision, time.perf_counter() - t0))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="also warm group subsets and the f64 lane")
     ap.add_argument("--precision", default="f32", choices=["f32", "f64"])
     args = ap.parse_args()
-    shapes = [(B, d, d) for d in (16, 32, 64)
-              for B in (8, 16, 32, 64, 128, 256)]
-    if args.full:
-        shapes += [(B, 128, 128) for B in (8, 16, 32, 64)]
-        shapes += [(B, 256, 256) for B in (8, 16)]
     t0 = time.perf_counter()
-    warm(shapes, args.precision)
-    print("ladder warm in %.1f s (%d signatures)"
-          % (time.perf_counter() - t0, len(shapes)))
+    warm(args.precision, ["*ALL*"], "*ALL*")
+    if args.full:
+        texture = ["*ALL_GLCM*", "*ALL_GLRLM*", "*ALL_GLSZM*",
+                   "*ALL_GLDZM*", "*ALL_GLDM*", "*ALL_NGLDM*",
+                   "*ALL_NGTDM*"]
+        for feats, tag in ((["*ALL_INTENSITY*"], "*ALL_INTENSITY*"),
+                           (texture, "texture-only"),
+                           (["*ALL_MORPHOLOGY*"], "*ALL_MORPHOLOGY*")):
+            warm(args.precision, feats, tag)
+        if args.precision == "f32":
+            warm("f64", ["*ALL*"], "*ALL*")
+    print("ladder warm in %.1f s" % (time.perf_counter() - t0))
 
 
 if __name__ == "__main__":
