@@ -368,13 +368,29 @@ def contour_sqdist_approx(px, py, cx, cy, want_min=True, want_max=False):
     out_max = np.empty(n, np.float64) if want_max else None
     lib = _load()
     if lib is not None:
-        lib.nyx_contour_sqdist_approx(
-            px.ctypes.data_as(ctypes.c_void_p),
-            py.ctypes.data_as(ctypes.c_void_p), n,
-            cx.ctypes.data_as(ctypes.c_void_p),
-            cy.ctypes.data_as(ctypes.c_void_p), len(cx),
-            out_min.ctypes.data_as(ctypes.c_void_p) if want_min else None,
-            out_max.ctypes.data_as(ctypes.c_void_p) if want_max else None)
+        def run(lo, hi):
+            lib.nyx_contour_sqdist_approx(
+                px[lo:hi].ctypes.data_as(ctypes.c_void_p),
+                py[lo:hi].ctypes.data_as(ctypes.c_void_p), hi - lo,
+                cx.ctypes.data_as(ctypes.c_void_p),
+                cy.ctypes.data_as(ctypes.c_void_p), len(cx),
+                out_min[lo:hi].ctypes.data_as(ctypes.c_void_p)
+                if want_min else None,
+                out_max[lo:hi].ctypes.data_as(ctypes.c_void_p)
+                if want_max else None)
+
+        # the per-point search is independent and GIL-free: fan big point
+        # sets over threads (the giant streamed-ROI weighted-moment pass
+        # calls this with ~1e6 points)
+        nthr = min(os.cpu_count() or 1, max(1, n // 65536))
+        if nthr > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            step = (n + nthr - 1) // nthr
+            with ThreadPoolExecutor(nthr) as ex:
+                list(ex.map(lambda lo: run(lo, min(n, lo + step)),
+                            range(0, n, step)))
+        else:
+            run(0, n)
         return out_min, out_max
     # pure-Python fallback (parity oracle; slow)
     import math

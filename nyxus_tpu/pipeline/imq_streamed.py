@@ -17,6 +17,7 @@ transformed there; frames padding beyond ``_PS_MAX_SIDE`` stay unassigned.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -312,7 +313,16 @@ def power_spectrum_streamed(rec, source, dtype=np.float64, block=2048):
         mag = np.bincount(li, weights=v, minlength=cap + 1)[:cap]
         pw = np.bincount(li, weights=v * v, minlength=cap + 1)[:cap]
     else:
-        @jax.jit
+        # pin to the host CPU backend when the default device sits behind
+        # a slow tunnel: shipping the S x S frame (fresh content) costs
+        # more than the whole FFT
+        try:
+            jax.devices("cpu")
+            _backend = "cpu"
+        except Exception:
+            _backend = None
+
+        @functools.partial(jax.jit, backend=_backend)
         def spectrum_bins(b):
             F = jnp.abs(jnp.fft.fft2(b)) / S
             v = F.ravel()

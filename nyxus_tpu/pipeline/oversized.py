@@ -175,6 +175,30 @@ def compactness_pass(rec, source, cx: float, cy: float,
 # ---------------------------------------------------------------------------
 # feature synthesis from the accumulators
 
+# memoized jitted finish-stage executables.  The streamed path reuses the
+# batched ops kernels on small aggregated arrays; calling them EAGERLY
+# dispatched one sub-0.2 s compile per jnp op per shape (~800 per fresh
+# process, all below the persistent-cache threshold, ~70 s of pure compile
+# on this host).  One jit per (function, static-args) key compiles once,
+# stays in-process, and persists to the compile cache.
+_FINISH_JIT: dict = {}
+
+
+def jit_finish(key, build):
+    if key not in _FINISH_JIT:
+        import jax
+        # finish stages reduce TINY aggregated matrices (KBs): on a
+        # tunneled accelerator each execution costs a ~30 ms round trip,
+        # so they pin to the HOST CPU backend (measured: ~5.6 s of fetch
+        # waits per giant streamed ROI moved to ~0)
+        try:
+            jax.devices("cpu")
+            _FINISH_JIT[key] = jax.jit(build(), backend="cpu")
+        except Exception:
+            _FINISH_JIT[key] = jax.jit(build())
+    return _FINISH_JIT[key]
+
+
 def _pad_pow2(n: int) -> int:
     p = 8
     while p < n:
@@ -192,11 +216,15 @@ def intensity_members(acc: OversizedAccums, slide_min, slide_max, cfg):
     wts = np.zeros((1, U))
     vals[0, :acc.vals.size] = acc.vals
     wts[0, :acc.vals.size] = acc.cnts
-    out = pixel_intensity_features(
+    nbins = int(cfg.coarse_gray_depth)
+    fn = jit_finish(
+        ("pif", nbins, cfg.noval),
+        lambda: lambda v, n, a, b, sr, w: pixel_intensity_features(
+            v, n, a, b, sr, nbins, cfg.noval, weights=w))
+    out = fn(
         jnp.asarray(vals), jnp.asarray([acc.area], jnp.int64),
         jnp.asarray([acc.vmin]), jnp.asarray([acc.vmax]),
-        jnp.asarray([float(slide_max - slide_min)]),
-        int(cfg.coarse_gray_depth), cfg.noval, weights=jnp.asarray(wts))
+        jnp.asarray([float(slide_max - slide_min)]), jnp.asarray(wts))
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
 
@@ -216,9 +244,13 @@ def ih_members(acc: OversizedAccums, cfg, slide_min=0.0, hu_offset=0.0):
                   0, N - 1).astype(np.int64)
     freq = np.zeros((1, N))
     np.add.at(freq[0], idx, acc.cnts)
-    out = ih_features_from_freq(
+    fn = jit_finish(
+        ("ihf", N, cfg.noval),
+        lambda: lambda f, n, a, b, ps, po: ih_features_from_freq(
+            f, n, a, b, N, cfg.noval, ps, po))
+    out = fn(
         jnp.asarray(freq), jnp.asarray([acc.area], jnp.int64),
-        jnp.asarray([acc.vmin]), jnp.asarray([acc.vmax]), N, cfg.noval,
+        jnp.asarray([acc.vmin]), jnp.asarray([acc.vmax]),
         jnp.asarray([pscale]), jnp.asarray([poffset]))
     return {k: float(np.asarray(v)[0]) for k, v in out.items()}
 
@@ -597,16 +629,29 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
                 for y in range(k):
                     kvs[0, x + y] = val[0, x] + val[0, y]
                     kvd[0, abs(x - y)] = abs(val[0, x] - val[0, y])
-            res = ops_glcm.glcm_finalize(
-                jnp.asarray(Mr[None], dt), vmin_a, vmax_a, g, cfg.noval,
-                ng_val=jnp.asarray([float(k)], dt),
-                val=jnp.asarray(val, dt), kvs=jnp.asarray(kvs, dt),
-                kvd=jnp.asarray(kvd, dt))
+            fn = jit_finish(
+                ("glcm_rc", g, cfg.noval),
+                lambda: lambda M, a, b, nv, v, s, d: ops_glcm.glcm_finalize(
+                    M, a, b, g, cfg.noval, ng_val=nv, val=v, kvs=s, kvd=d))
+            res = fn(
+                jnp.asarray(Mr[None], dt), vmin_a, vmax_a,
+                jnp.asarray([float(k)], dt),
+                jnp.asarray(val, dt), jnp.asarray(kvs, dt),
+                jnp.asarray(kvd, dt))
         else:
             M = jnp.asarray(acc_g.finish(symmetric=cfg.ibsi), dt)
-            ng_val = vmax_a if cfg.ibsi else None
-            res = ops_glcm.glcm_finalize(M, vmin_a, vmax_a, g, cfg.noval,
-                                         ng_val)
+            if cfg.ibsi:
+                fn = jit_finish(
+                    ("glcm_ng", g, cfg.noval),
+                    lambda: lambda M, a, b, nv: ops_glcm.glcm_finalize(
+                        M, a, b, g, cfg.noval, nv))
+                res = fn(M, vmin_a, vmax_a, vmax_a)
+            else:
+                fn = jit_finish(
+                    ("glcm", g, cfg.noval),
+                    lambda: lambda M, a, b: ops_glcm.glcm_finalize(
+                        M, a, b, g, cfg.noval, None))
+                res = fn(M, vmin_a, vmax_a)
         out["GLCMFeature"] = {k2: np.asarray(v)[0] for k2, v in res.items()}
 
     if "glrlm" in accs:
@@ -614,9 +659,12 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
         P = accs["glrlm"].finish()
         nr = _pow2(P.shape[-1])
         P = np.pad(P, ((0, 0), (0, 0), (0, 0), (0, nr - P.shape[-1])))
-        res = ops_glrlm.glrlm_features(
-            jnp.asarray(P, dt), jnp.asarray([n_nonzero], jnp.int64),
-            vmin_a, vmax_a, cfg.noval, dt)
+        fn = jit_finish(
+            ("glrlm", cfg.noval, dt),
+            lambda: lambda P, n, a, b: ops_glrlm.glrlm_features(
+                P, n, a, b, cfg.noval, dt))
+        res = fn(jnp.asarray(P, dt), jnp.asarray([n_nonzero], jnp.int64),
+                 vmin_a, vmax_a)
         out["GLRLMFeature"] = {k: np.asarray(v)[0] for k, v in res.items()}
 
     if "glszm" in accs:
@@ -626,12 +674,17 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
         Z = _pow2(zlev.shape[1])
         pad = ((0, 0), (0, Z - zlev.shape[1]))
         np_pixels = H * W if g > 0 else n_nonzero
-        res = ops_glszm.glszm_features_from_zones(
+        fn = jit_finish(
+            ("glszm", cfg.noval, dt),
+            lambda: lambda zl, zs, w_, n, a, b, sk:
+                ops_glszm.glszm_features_from_zones(
+                    zl, zs, w_, n, a, b, cfg.noval, dt, sk))
+        res = fn(
             jnp.asarray(np.pad(zlev, pad), dt),
             jnp.asarray(np.pad(zsize, pad), dt),
             jnp.asarray(np.pad(w, pad), dt),
             jnp.asarray([np_pixels], jnp.int64), vmin_a, vmax_a,
-            cfg.noval, dt, float(H) * float(W) + 1.0)
+            jnp.asarray(float(H) * float(W) + 1.0, dt))
         out["GLSZMFeature"] = {k: float(np.asarray(v)[0])
                                for k, v in res.items()}
 
@@ -648,12 +701,17 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
                                                   accs["gldzm_b"].finish()))
         Z = _pow2(zlev.shape[1])
         pad = ((0, 0), (0, Z - zlev.shape[1]))
-        res = ops_gldzm.gldzm_features_from_zones(
+        fn = jit_finish(
+            ("gldzm", cfg.noval, dt),
+            lambda: lambda zl, zd_, w_, n, a, b, md:
+                ops_gldzm.gldzm_features_from_zones(
+                    zl, zd_, w_, n, a, b, cfg.noval, dt, md))
+        res = fn(
             jnp.asarray(np.pad(zlev, pad), dt),
             jnp.asarray(np.pad(zd, pad), dt),
             jnp.asarray(np.pad(wz, pad), dt),
             jnp.asarray([rec.area], jnp.int64), vmin_a, vmax_a,
-            cfg.noval, dt, float(H + W + 2))
+            jnp.asarray(float(H + W + 2), dt))
         out["GLDZMFeature"] = {k: float(np.asarray(v)[0])
                                for k, v in res.items()}
 
@@ -662,24 +720,33 @@ def texture_members(rec, source, cfg, families, slide_max, block: int = 2048):
         acc.finish()        # process the AABB's last rows as centers
         if need_ngtdm:
             from ..ops import ngtdm as ops_ngtdm
-            res = ops_ngtdm.ngtdm_stats(
+            fn = jit_finish(
+                ("ngtdm", cfg.noval, dt, cfg.ibsi),
+                lambda: lambda N_, S_, p, lv, v: ops_ngtdm.ngtdm_stats(
+                    N_, S_, p, lv, v, cfg.noval, dt, ibsi=cfg.ibsi))
+            res = fn(
                 jnp.asarray(acc.N[None], dt), jnp.asarray(acc.S[None], dt),
                 jnp.asarray(acc.present[None]),
                 jnp.asarray([[[maxlev_ngtdm]]], jnp.int32),
-                jnp.asarray([[[True]]]), cfg.noval, dt, ibsi=cfg.ibsi)
+                jnp.asarray([[[True]]]))
             out["NGTDMFeature"] = {k: float(np.asarray(v)[0])
                                    for k, v in res.items()}
         if need_gldm:
             from ..ops import gldm as ops_gldm
-            res = ops_gldm.gldm_features(jnp.asarray(acc.P_gldm[None], dt),
-                                         vmin_a, vmax_a, cfg.noval)
+            fn = jit_finish(
+                ("gldm", cfg.noval),
+                lambda: lambda P, a, b: ops_gldm.gldm_features(
+                    P, a, b, cfg.noval))
+            res = fn(jnp.asarray(acc.P_gldm[None], dt), vmin_a, vmax_a)
             out["GLDMFeature"] = {k: float(np.asarray(v)[0])
                                   for k, v in res.items()}
         if need_ngldm:
             from ..ops import ngldm as ops_ngldm
-            res = ops_ngldm.ngldm_features_from_matrix(
-                jnp.asarray(acc.P_ngldm[None], dt), vmin_a, vmax_a,
-                cfg.noval, dt)
+            fn = jit_finish(
+                ("ngldm", cfg.noval, dt),
+                lambda: lambda P, a, b: ops_ngldm.ngldm_features_from_matrix(
+                    P, a, b, cfg.noval, dt))
+            res = fn(jnp.asarray(acc.P_ngldm[None], dt), vmin_a, vmax_a)
             out["NGLDMfeature"] = {k: float(np.asarray(v)[0])
                                    for k, v in res.items()}
     return out
@@ -716,37 +783,66 @@ def process(rec, source, cfg, families, slide_min, slide_max,
                      contour=contour if want_moments else None)
     if acc.area == 0:
         return {}
-    out = texture_members(rec, source, cfg,
-                          [f for f in want if f in TEX_FAMILIES],
-                          slide_max, block)
+    # independent streamed passes fan over a small thread pool: every
+    # source's region reads serialize on its lock (libtiff handles are not
+    # thread-safe) while the numpy/native work overlaps -- the giant-ROI
+    # wall is host-bound, and each family group re-sweeps the ROI on its
+    # own (the reference's per-family osized_calculate threads similarly,
+    # phase3.cpp:94-114)
+    tasks = []
+    tex_want = [f for f in want if f in TEX_FAMILIES]
+    if tex_want:
+        tasks.append(lambda: texture_members(rec, source, cfg, tex_want,
+                                             slide_max, block))
     if ("RoiRadiusFeature" in want) or ("RadialDistributionFeature" in want):
-        out.update(ox.radial_streamed(rec, source, contour,
-                                      "RoiRadiusFeature" in want,
-                                      "RadialDistributionFeature" in want,
-                                      block))
+        tasks.append(lambda: ox.radial_streamed(
+            rec, source, contour, "RoiRadiusFeature" in want,
+            "RadialDistributionFeature" in want, block))
     if "ChordsFeature" in want:
-        out.update(ox.chords_streamed(rec, source, cfg,
-                                      cfg.ram_limit_mb << 20, block))
+        tasks.append(lambda: ox.chords_streamed(
+            rec, source, cfg, cfg.ram_limit_mb << 20, block))
     imq_want = [f for f in want
                 if f in ("FocusScoreFeature", "SaturationFeature",
                          "SharpnessFeature", "PowerSpectrumFeature")]
     if imq_want:
         from . import imq_streamed as oimq
-        if "FocusScoreFeature" in imq_want:
-            out["FocusScoreFeature"] = oimq.focus_score_streamed(
-                rec, source, block)
-        if "SaturationFeature" in imq_want:
-            out["SaturationFeature"] = oimq.saturation_streamed(
-                rec, source, block)
-        if "SharpnessFeature" in imq_want:
-            out["SharpnessFeature"] = oimq.sharpness_streamed(
-                rec, source, block)
-        if "PowerSpectrumFeature" in imq_want:
-            dt = np.float64 if cfg.precision == "f64" else np.float32
-            mem = oimq.power_spectrum_streamed(rec, source, dt, block)
-            if mem:
-                out["PowerSpectrumFeature"] = mem
+
+        def imq_task():
+            o = {}
+            if "FocusScoreFeature" in imq_want:
+                o["FocusScoreFeature"] = oimq.focus_score_streamed(
+                    rec, source, block)
+            if "SaturationFeature" in imq_want:
+                o["SaturationFeature"] = oimq.saturation_streamed(
+                    rec, source, block)
+            if "SharpnessFeature" in imq_want:
+                o["SharpnessFeature"] = oimq.sharpness_streamed(
+                    rec, source, block)
+            if "PowerSpectrumFeature" in imq_want:
+                dt = np.float64 if cfg.precision == "f64" else np.float32
+                mem = oimq.power_spectrum_streamed(rec, source, dt, block)
+                if mem:
+                    o["PowerSpectrumFeature"] = mem
+            return o
+        tasks.append(imq_task)
+    if "ZernikeFeature" in want:
+        tasks.append(lambda: {"ZernikeFeature": ox.zernike_streamed(
+            rec, acc, source, cfg.noval, block)})
+    if "GaborFeature" in want:
+        tasks.append(lambda: {"GaborFeature": ox.gabor_streamed(
+            rec, acc, source, cfg, block)})
+
+    out = {}
+    if len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as ex:
+            for d in ex.map(lambda t: t(), tasks):
+                out.update(d)
+    elif tasks:
+        out.update(tasks[0]())
     for fam in [f for f in want if f not in TEX_FAMILIES]:
+        if fam in ("ZernikeFeature", "GaborFeature"):
+            continue   # handled above (threaded fan)
         if fam == "PixelIntensityFeatures":
             out[fam] = intensity_members(acc, slide_min, slide_max, cfg)
         elif fam == "IntensityHistogramFeatures":

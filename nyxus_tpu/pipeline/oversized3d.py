@@ -557,6 +557,9 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
             accs["ngtdm_maxlev"] = max(accs["ngtdm_maxlev"], int(lv.max()))
 
     # --- finalize via the SAME jitted statistics as the dense path -------
+    # (each call goes through oversized.jit_finish: one cached executable
+    # per signature instead of eager per-op dispatch, see oversized.py)
+    from .oversized import jit_finish
     j = lambda a: jnp.asarray(np.asarray(a, np.float64)[None])
     vmin1 = jnp.asarray([rec.vmin], dtype)
     vmax1 = jnp.asarray([rec.vmax], dtype)
@@ -571,24 +574,35 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         wt = np.zeros((1, U))
         va[0, :hist.vals.size] = hist.vals
         wt[0, :hist.vals.size] = hist.cnts
-        res = pixel_intensity_features(
+        nb = cfg.coarse_gray_depth
+        fn = jit_finish(
+            ("pif3", nb, cfg.noval),
+            lambda: lambda v, n, a, b, sr, w: pixel_intensity_features(
+                v, n, a, b, sr, nb, cfg.noval, weights=w))
+        res = fn(
             jnp.asarray(va), jnp.asarray([hist.area], jnp.int64),
             vmin1, vmax1, jnp.asarray([smax - smin], dtype),
-            cfg.coarse_gray_depth, cfg.noval, weights=jnp.asarray(wt))
+            jnp.asarray(wt))
         out["D3_VoxelIntensityFeatures"] = to_scalar(res)
 
     if "D3_GLCM_feature" in want:
-        M = jnp.asarray(accs["glcm"][None], dtype)
+        M_np = accs["glcm"][None]
         if ibsi:
-            M = M + jnp.swapaxes(M, -1, -2)
-        ng_val = vmax1 if ibsi else None
-        out["D3_GLCM_feature"] = to_scalar(t3.glcm3d_finalize(
-            M, vmin1, vmax1, gi_glcm, cfg.noval, dtype, ng_val))
+            M_np = M_np + np.swapaxes(M_np, -1, -2)
+        fn = jit_finish(
+            ("glcm3", gi_glcm, cfg.noval, dtype, ibsi),
+            lambda: (lambda M, a, b: t3.glcm3d_finalize(
+                M, a, b, gi_glcm, cfg.noval, dtype, b if ibsi else None)))
+        out["D3_GLCM_feature"] = to_scalar(fn(
+            jnp.asarray(M_np, dtype), vmin1, vmax1))
 
     if "D3_GLRLM_feature" in want:
         P = jnp.asarray(accs["glrlm"].finish()[None], dtype)
-        res = glrlm2d.glrlm_features(P, jnp.asarray([rec.area], dtype),
-                                     vmin1, vmax1, cfg.noval, dtype)
+        fn = jit_finish(
+            ("glrlm3", cfg.noval, dtype),
+            lambda: lambda P_, n, a, b: glrlm2d.glrlm_features(
+                P_, n, a, b, cfg.noval, dtype))
+        res = fn(P, jnp.asarray([rec.area], dtype), vmin1, vmax1)
         fin = {}
         for mname in glrlm2d.MEMBERS:
             fin[mname] = float(np.asarray(res[mname])[0, 0])
@@ -598,30 +612,42 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
     if "D3_GLSZM_feature" in want:
         zl, zs, _ = accs["glszm"].zone_lists()
         A = pd * ph * pw
-        out["D3_GLSZM_feature"] = to_scalar(t3._glszm_from_zones(
+        fn = jit_finish(
+            ("glszm3", cfg.noval, dtype, A),
+            lambda: lambda s_, l_, z_, n, a, b: t3._glszm_from_zones(
+                s_, l_, z_, n, a, b, cfg.noval, dtype, A))
+        out["D3_GLSZM_feature"] = to_scalar(fn(
             j(np.ones_like(zl)) > 0, j(zl), j(zs),
-            jnp.asarray([rec.area], dtype), vmin1, vmax1, cfg.noval,
-            dtype, A))
+            jnp.asarray([rec.area], dtype), vmin1, vmax1))
 
     if "D3_GLDZM_feature" in want:
         zl, zs, zd = accs["gldzm"].zone_lists()
         wz = (zl > 0).astype(np.float64)
         maxd = ph + pw + 2.0
-        out["D3_GLDZM_feature"] = to_scalar(t3.gldzm3d_from_zones(
+        fn = jit_finish(
+            ("gldzm3", cfg.noval, dtype, maxd),
+            lambda: lambda l_, d_, w_, n, a, b: t3.gldzm3d_from_zones(
+                l_, d_, w_, n, a, b, cfg.noval, dtype, maxd))
+        out["D3_GLDZM_feature"] = to_scalar(fn(
             j(zl).astype(dtype), j(zd).astype(dtype), j(wz).astype(dtype),
-            jnp.asarray([rec.area], dtype), vmin1, vmax1, cfg.noval,
-            dtype, maxd))
+            jnp.asarray([rec.area], dtype), vmin1, vmax1))
 
     if "D3_GLDM_feature" in want:
         P = jnp.asarray(accs["gldm"][None], dtype)
-        out["D3_GLDM_feature"] = to_scalar(
-            gldm2d.gldm_features(P, vmin1, vmax1, cfg.noval))
+        fn = jit_finish(
+            ("gldm3", cfg.noval),
+            lambda: lambda P_, a, b: gldm2d.gldm_features(
+                P_, a, b, cfg.noval))
+        out["D3_GLDM_feature"] = to_scalar(fn(P, vmin1, vmax1))
 
     if "D3_NGLDM_feature" in want:
         P = jnp.asarray(accs["ngldm_P"][None], dtype)
         pres = jnp.asarray(accs["ngldm_present"][None])
-        out["D3_NGLDM_feature"] = to_scalar(t3.ngldm3d_from_matrix(
-            P, pres, vmin1, vmax1, cfg.noval, dtype))
+        fn = jit_finish(
+            ("ngldm3", cfg.noval, dtype),
+            lambda: lambda P_, pr, a, b: t3.ngldm3d_from_matrix(
+                P_, pr, a, b, cfg.noval, dtype))
+        out["D3_NGLDM_feature"] = to_scalar(fn(P, pres, vmin1, vmax1))
 
     if "D3_NGTDM_feature" in want and cfg.d3_ngtdm_radius <= 0:
         # reference default: radius 0 -> empty neighborhood -> all-zero
@@ -637,9 +663,12 @@ def process3d(rec, intens, labels, cfg, families, smin, smax):
         pres[0] = False
         stub_lev = jnp.full((1, 1, 1, 1), accs["ngtdm_maxlev"], jnp.int32)
         stub_ok = jnp.ones((1, 1, 1, 1), bool)
-        out["D3_NGTDM_feature"] = to_scalar(ngtdm2d.ngtdm_stats(
-            N, S, jnp.asarray(pres[None]), stub_lev, stub_ok,
-            cfg.noval, dtype, ibsi=gi_ngtdm == 0))
+        fn = jit_finish(
+            ("ngtdm3", cfg.noval, dtype, gi_ngtdm == 0),
+            lambda: lambda N_, S_, p, lv, v: ngtdm2d.ngtdm_stats(
+                N_, S_, p, lv, v, cfg.noval, dtype, ibsi=gi_ngtdm == 0))
+        out["D3_NGTDM_feature"] = to_scalar(fn(
+            N, S, jnp.asarray(pres[None]), stub_lev, stub_ok))
 
     if "D3_SurfaceFeature" in want and surf["n"]:
         out["D3_SurfaceFeature"] = _surface_members(rec, surf)

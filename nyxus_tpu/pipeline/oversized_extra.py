@@ -631,14 +631,17 @@ def chords_streamed(rec, source, cfg, budget_bytes, block=2048):
     if area == 0:
         return {}
 
-    # ~24 bytes per selected pixel per band pass
-    nbands = max(1, int(area * 24 // max(budget_bytes, 1 << 20)) + 1)
-
     MCv, MCang, ACl, ACang = [], [], [], []
     for ai in range(A):
         wr = int(maxx[ai] - minx[ai] + 1)
         hr_bottom = int(maxy[ai] - miny[ai])
         step = wr // n_side_segments if wr >= 2 * n_side_segments else 1
+        # band count from the SELECTED pixel estimate: only every step-th
+        # rotated column participates (~1/step of the area), so sizing
+        # bands by the full area forced ~step x more re-scans than the
+        # memory bound needs (each re-scan re-rotates every ROI pixel)
+        sel_est = area // max(step, 1) + 1
+        nbands = max(1, int(sel_est * 32 // max(budget_bytes, 1 << 20)) + 1)
         band_w = (wr + nbands - 1) // nbands
         ang_best = 0
         ang_any = False
@@ -657,12 +660,15 @@ def chords_streamed(rec, source, cfg, budget_bytes, block=2048):
                 gy = (ys + y0l + rec.y0).astype(np.float64)
                 xr = ((gx - cenx) * cos_a[ai] - (gy - ceny) * sin_a[ai]
                       + cenx).astype(np.float32).astype(np.int64) - minx[ai]
-                yr = ((gy - ceny) * cos_a[ai] + (gx - cenx) * sin_a[ai]
-                      + ceny).astype(np.float32).astype(np.int64) - miny[ai]
                 sel = (xr >= bx0) & (xr < bx1) & ((xr % step) == 0)
                 if sel.any():
+                    # yr only for the ~1/step selected pixels
+                    yr = ((gy[sel] - ceny) * cos_a[ai]
+                          + (gx[sel] - cenx) * sin_a[ai]
+                          + ceny).astype(np.float32).astype(np.int64) \
+                        - miny[ai]
                     xs_l.append(xr[sel])
-                    ys_l.append(yr[sel])
+                    ys_l.append(yr)
                     it_l.append(ii[ys, xs][sel].astype(np.float64))
                     ord_l.append(np.nonzero(sel)[0] + order_base)
                 order_base += len(ys)

@@ -250,6 +250,28 @@ class SzAccum:
         self._prev = (np.full(width, _HUGE), np.zeros(width, np.int64),
                       np.zeros(width, bool))
         self._y = 0
+        # per-row zone fragments buffer, compacted in blocks: the per-row
+        # python dict loop dominated the giant-ROI sweep
+        self._buf_anc: list = []
+        self._buf_lev: list = []
+        self._buf_n = 0
+
+    def _compact(self):
+        if not self._buf_anc:
+            return
+        av = np.concatenate(self._buf_anc)
+        lv = np.concatenate(self._buf_lev)
+        self._buf_anc.clear()
+        self._buf_lev.clear()
+        self._buf_n = 0
+        u, first = np.unique(av, return_index=True)
+        cnt = np.bincount(np.searchsorted(u, av))
+        ul = lv[first]
+        sizes, levels = self.sizes, self.levels
+        for a_val, l_val, n in zip(u.tolist(), ul.tolist(), cnt.tolist()):
+            sizes[a_val] = sizes.get(a_val, 0) + n
+            if a_val not in levels:
+                levels[a_val] = l_val
 
     def feed_row(self, lev_row: np.ndarray, valid_row: np.ndarray):
         W = self._W
@@ -270,19 +292,17 @@ class SzAccum:
 
         if valid_row.any():
             av = anc[valid_row]
-            lvv = lv[valid_row]
-            u, first, c = np.unique(av, return_index=True, return_counts=True)
-            ul = lvv[first]
-            sizes, levels = self.sizes, self.levels
-            for a_val, l_val, n in zip(u.tolist(), ul.tolist(), c.tolist()):
-                sizes[a_val] = sizes.get(a_val, 0) + n
-                if a_val not in levels:
-                    levels[a_val] = l_val
+            self._buf_anc.append(av)
+            self._buf_lev.append(lv[valid_row])
+            self._buf_n += len(av)
+            if self._buf_n >= (1 << 19):
+                self._compact()
         self._prev = (anc, lv, valid_row.copy())
         self._y += 1
 
     def finish(self):
         """(zlev [1, Z], zsize [1, Z], w [1, Z]) zone arrays (Z >= 1)."""
+        self._compact()
         if not self.sizes:
             z = np.zeros((1, 1))
             return z, z.copy(), z.copy()

@@ -1218,6 +1218,29 @@ class PairRunner:
             """Collect device results and run the device-dependent tail.
             Split out so a caller can overlap the NEXT pair's host stages
             with THIS pair's (asynchronous) device execution."""
+            # oversized ROIs COMPUTE first: the streamed phase-3 pass is
+            # pure host work (reference phase 3, phase3.cpp:24-127) and
+            # overlaps THIS slide's still-executing device batches + async
+            # D2H.  Host-only families (chords, radius, radial, IMQ) are
+            # included: their streamed variants consume the streamed
+            # contour.  The SCATTER happens after run_host(pre_host) below
+            # -- the host-geometry pass writes unassigned sentinels for
+            # oversized rows and must not clobber these results.
+            over_fams = registry.activated_families(self.fset)
+            over_res = []
+            for i in over_rows:
+                with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
+                    res = ovs.process(recs[i], source, self.cfg, over_fams,
+                                      smin, smax,
+                                      contour=(contours[i]
+                                               if contours is not None
+                                               else None),
+                                      hu_offset=hu_offset)
+                over_res.append(
+                    (i, {fam: {m: np.asarray(v)[None]
+                               for m, v in mem.items()}
+                         for fam, mem in res.items()}))
+
             with stopwatch("Pipeline/Phase2_collect/#33aa99"):
                 if fused_outs:
                     packed_all = np.asarray(fused_slab)
@@ -1244,21 +1267,8 @@ class PairRunner:
                 fut_rest.result()
                 run_host(pre_host)
 
-            # oversized ROIs: streamed sufficient-statistic pass per ROI
-            # (reference phase 3, phase3.cpp:24-127).  Host-only families
-            # (chords, radius, radial) are included: their streamed variants
-            # consume the streamed contour
-            over_fams = registry.activated_families(self.fset)
-            for i in over_rows:
-                with stopwatch("Pipeline/Phase3_oversized/#cc7733"):
-                    res = ovs.process(recs[i], source, self.cfg, over_fams,
-                                      smin, smax,
-                                      contour=(contours[i]
-                                               if contours is not None
-                                               else None),
-                                      hu_offset=hu_offset)
-                res = {fam: {m: np.asarray(v)[None] for m, v in mem.items()}
-                       for fam, mem in res.items()}
+            # phase-3 results land AFTER the host-geometry scatters
+            for i, res in over_res:
                 self._scatter(values, [i], res)
 
             # device-dependent host families (circles, geodetic, neighbors,

@@ -87,15 +87,19 @@ class WholeSlideTiffSource:
     (labels are constant 1; reference: nyxus.py wholeslide=True pairing)."""
 
     def __init__(self, int_path: str):
+        import threading
+
         from .. import native
         self._ir = native.TiffReader(int_path)
         self.shape = (self._ir.height, self._ir.width)
         self.int_is_float = self._ir.is_float
         self.int_transfer_u32_ok = (not self._ir.is_float
                                     and not self._ir.is_signed)
+        self._lock = threading.Lock()
 
     def read_pair(self, y0: int, x0: int, h: int, w: int):
-        ii = self._ir.read_region(y0, x0, h, w, "f64")
+        with self._lock:
+            ii = self._ir.read_region(y0, x0, h, w, "f64")
         H, W = self.shape
         ll = np.zeros((h, w), np.int64)
         ll[:max(0, min(y0 + h, H) - y0), :max(0, min(x0 + w, W) - x0)] = 1

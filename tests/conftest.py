@@ -30,6 +30,9 @@ if not TPU_LANE:
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on the real accelerator (NYXUS_TPU_LANE=1)")
+    config.addinivalue_line(
+        "markers", "nightly: heavy parity suites (full fixture sweeps); "
+        "the quick per-commit tier deselects them with -m 'not nightly'")
 
 
 def pytest_collection_modifyitems(config, items):

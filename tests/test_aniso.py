@@ -40,6 +40,10 @@ from nyxus_tpu import taxonomy as tx  # noqa: E402
 from nyxus_tpu.config import EngineConfig  # noqa: E402
 from nyxus_tpu.pipeline.runner import PairRunner  # noqa: E402
 
+# full fixture sweeps: heavy; the quick per-commit tier deselects these
+import pytest as _pt
+pytestmark = _pt.mark.nightly
+
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
                        "ref_aniso_320x320_seed11.csv.gz")
 

@@ -29,6 +29,10 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 from test_reference_parity import FAMILY_TOL, LOOSE  # noqa: E402
 
+# full fixture sweeps: heavy; the quick per-commit tier deselects these
+import pytest as _pt
+pytestmark = _pt.mark.nightly
+
 DEFAULT_TOL = 1e-4
 
 # Families whose radiomics-binning behavior in the reference binary is a

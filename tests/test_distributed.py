@@ -32,6 +32,10 @@ initialize_distributed(coordinator_address=%(coord)r, num_processes=2,
 assert jax.process_count() == 2, jax.process_count()
 assert jax.process_index() == %(pid)d, jax.process_index()
 from nyxus_tpu import Nyxus
+
+# full fixture sweeps: heavy; the quick per-commit tier deselects these
+import pytest as _pt
+pytestmark = _pt.mark.nightly
 nyx = Nyxus(["MEAN", "AREA_PIXELS_COUNT", "PERIMETER"], shard_slides=True)
 df = nyx.featurize_directory(%(intdir)r, %(segdir)r)
 df.to_csv(%(out)r, index=False)

@@ -10,6 +10,10 @@ import pytest
 
 from nyxus_tpu import Nyxus
 
+# full fixture sweeps: heavy; the quick per-commit tier deselects these
+import pytest as _pt
+pytestmark = _pt.mark.nightly
+
 FEATS = ["*ALL_INTENSITY*", "*BASIC_MORPHOLOGY*",
          "MAJOR_AXIS_LENGTH", "MINOR_AXIS_LENGTH", "ECCENTRICITY",
          "ELONGATION", "ORIENTATION", "ROUNDNESS",

@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
+# full fixture sweeps: heavy; the quick per-commit tier deselects these
+import pytest as _pt
+pytestmark = _pt.mark.nightly
+
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
                        "ref_wholeslide_320x320_seed11.csv.gz")
 

@@ -116,22 +116,52 @@ def transfer_ledger(intens, labels):
     cfg = EngineConfig(precision="f32")
     runner = PairRunner(tx.parse_feature_request(["*ALL*"]), cfg)
     rec = {"h2d": 0, "d2h": 0}
-    orig = rmod._extract_pair_packed
+    # flat path: ONE buffer + per-block metas up, one slab down
+    orig_uni = rmod._extract_slide_fused
+    orig_flat = rmod._extract_bucket_flat
+    orig_pair = rmod._extract_pair_packed
+    seen_buf = set()
 
-    def wrap(bucket_args, *a, **k):
-        for args in bucket_args:
-            for x in args:
-                if x is not None:
-                    rec["h2d"] += x.nbytes
-        out = orig(bucket_args, *a, **k)
+    def count_args(*arrs):
+        for x in arrs:
+            if x is None:
+                continue
+            if isinstance(x, (tuple, list)):
+                count_args(*x)
+                continue
+            if id(x) in seen_buf:   # the slide buffer ships ONCE
+                continue
+            seen_buf.add(id(x))
+            rec["h2d"] += x.nbytes
+
+    def wrap_uni(buf, mi, mf, ridx, *a, **k):
+        count_args(buf, mi, mf, ridx)
+        out = orig_uni(buf, mi, mf, ridx, *a, **k)
         rec["d2h"] += out.nbytes
         return out
 
-    rmod._extract_pair_packed = wrap
+    def wrap_flat(buf, mi, mf, *a, **k):
+        count_args(buf, mi, mf)
+        out = orig_flat(buf, mi, mf, *a, **k)
+        rec["d2h"] += out.nbytes
+        return out
+
+    def wrap_pair(bucket_args, *a, **k):
+        for args in bucket_args:
+            count_args(*args)
+        out = orig_pair(bucket_args, *a, **k)
+        rec["d2h"] += out.nbytes
+        return out
+
+    rmod._extract_slide_fused = wrap_uni
+    rmod._extract_bucket_flat = wrap_flat
+    rmod._extract_pair_packed = wrap_pair
     try:
         runner.run(intens, labels)
     finally:
-        rmod._extract_pair_packed = orig
+        rmod._extract_slide_fused = orig_uni
+        rmod._extract_bucket_flat = orig_flat
+        rmod._extract_pair_packed = orig_pair
 
     # link probes (median of 3)
     def med(f, n=3):
@@ -274,7 +304,10 @@ def main():
             (wp["device_busy_frac"] or 0) * 100),
         "The chip is idle most of the wall: the tunneled link (H2D probe "
         "%.0f MB/s, D2H probe %.0f MB/s) and host stages bound this "
-        "deployment, which is why the build compresses transfers "
+        "deployment, which is why the build ships tight per-ROI crops "
+        "in one padded uint8 buffer per slide (the pow2 zero padding "
+        "dedupes on the wire; fresh content is ~0.6 MB of the ledger's "
+        "H2D figure), compresses transfers "
         "(uint crops, bit-packed masks, u16 distance planes) and overlaps "
         "host/device/IO in a slide pipeline.\n" % (
             tr["h2d_probe_MBps"], tr["d2h_probe_MBps"]),

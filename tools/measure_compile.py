@@ -66,9 +66,27 @@ def run(snippet, cache):
     return wall, first
 
 
+SNIPPET_SUBSET = """
+import sys, time; sys.path.insert(0, %(root)r)
+import jax
+jax.config.update("jax_compilation_cache_dir", %(cache)r)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+import bench
+from nyxus_tpu import taxonomy as tx
+from nyxus_tpu.config import EngineConfig
+from nyxus_tpu.pipeline.runner import PairRunner
+intens, labels = bench.make_dsb_like(h=320, w=320, n_blobs=40, seed=11)
+t0 = time.perf_counter()
+PairRunner(tx.parse_feature_request(["*ALL_INTENSITY*"]),
+           EngineConfig(precision="f32")).run(intens, labels)
+print("FIRST_RUN_SECONDS", time.perf_counter() - t0)
+"""
+
+
 def main():
     out = {}
-    for name, snip in (("ALL_2d", SNIPPET_2D), ("ALL_3d", SNIPPET_3D)):
+    for name, snip in (("ALL_2d", SNIPPET_2D), ("ALL_3d", SNIPPET_3D),
+                       ("ALL_INTENSITY_2d", SNIPPET_SUBSET)):
         with tempfile.TemporaryDirectory() as fresh:
             wall_f, first_f = run(snip, fresh)
             wall_w, first_w = run(snip, fresh)   # warm persistent cache
