@@ -32,12 +32,12 @@ def profile_file_run(intens, labels, n_slides):
     from nyxus_tpu.timing import Stopwatch
     # warmup (compiles)
     t0 = time.perf_counter()
-    bench.bench_file_based(intens, labels, n_slides)
+    bench.bench_file_based(n_slides)
     warm = time.perf_counter() - t0
     Stopwatch.enable()
     Stopwatch.reset()
     t0 = time.perf_counter()
-    rois, wall, mpix = bench.bench_file_based(intens, labels, n_slides)
+    rois, wall, mpix = bench.bench_file_based(n_slides)
     print("\n=== file protocol: %d ROIs / %.3f s = %.1f ROIs/s "
           "(first run %.1f s) ===" % (rois, wall, rois / wall, warm))
     print(Stopwatch.summary())
@@ -70,20 +70,27 @@ def profile_device_split(intens, labels):
               % (it, (t_dispatch - t0) * 1e3, (t_done - t_dispatch) * 1e3,
                  (t_done - t0) * 1e3))
 
-    # device-only: time the fused executable alone (no host stages),
-    # via a second run capturing the last dispatched buffer
+    # device-only: time the dispatched executable alone (no host stages), by
+    # capturing the last dispatched output buffer.  The dense path goes
+    # through _extract_pair_packed, the tight-buffer path through the
+    # module-global _extract_slide_fused / _extract_bucket_flat -- wrap all.
     import nyxus_tpu.pipeline.runner as rmod
-    orig = rmod._extract_pair_packed
     rec = {}
+    hooks = ("_extract_pair_packed", "_extract_slide_fused",
+             "_extract_bucket_flat")
+    origs = {nm: getattr(rmod, nm) for nm in hooks}
 
-    def wrapper(*a, **k):
-        t0 = time.perf_counter()
-        out = orig(*a, **k)
-        rec["dispatch_s"] = time.perf_counter() - t0
-        rec["out"] = out
-        return out
+    def make_wrapper(fn):
+        def wrapper(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            rec["dispatch_s"] = time.perf_counter() - t0
+            rec["out"] = out
+            return out
+        return wrapper
 
-    rmod._extract_pair_packed = wrapper
+    for nm, fn in origs.items():
+        setattr(rmod, nm, make_wrapper(fn))
     try:
         t0 = time.perf_counter()
         labs, fin = runner.run(I, M, async_collect=True)
@@ -93,7 +100,8 @@ def profile_device_split(intens, labels):
         fin()
         t3 = time.perf_counter()
     finally:
-        rmod._extract_pair_packed = orig
+        for nm, fn in origs.items():
+            setattr(rmod, nm, fn)
     print("\ndevice split: host stages+dispatch %.1f ms (of which dispatch "
           "call %.1f ms) | block_until_ready after host stages %.1f ms | "
           "rest of finish() %.1f ms"
