@@ -216,6 +216,42 @@ def _extract_slide_fused(buf, metas_i, metas_f, row_idx, families, cfg,
     return allrows[row_idx]
 
 
+_AOT_SLIDE = None     # lazily-built aot_cache.AotSite for the universal call
+
+
+def _call_slide_fused(buf, metas_i, metas_f, ridx, families, cfg,
+                      static_meta, has_lw, ci_u32, layout_key):
+    """Dispatch the universal slide program, through the opt-in AOT
+    artifact cache (aot_cache.py) when NYXUS_TPU_AOT_CACHE is set: a warm
+    fresh process then skips the ~18 s megakernel re-trace and reaches its
+    first row from the serialized program."""
+    from . import aot_cache
+
+    def jit_call():
+        return _extract_slide_fused(
+            buf, metas_i, metas_f, ridx, families, cfg, static_meta,
+            caps=_UNIVERSAL_CAPS, has_lw=has_lw, ci_u32=ci_u32,
+            layout_key=layout_key)
+
+    if not aot_cache.enabled():
+        return jit_call()
+    global _AOT_SLIDE
+    if _AOT_SLIDE is None:
+        _AOT_SLIDE = aot_cache.AotSite("slide_fused")
+    n = len(metas_i)
+
+    def flat_fn(buf_a, *rest):
+        return _extract_slide_fused(
+            buf_a, tuple(rest[:n]), tuple(rest[n:2 * n]), rest[2 * n],
+            families, cfg, static_meta, caps=_UNIVERSAL_CAPS,
+            has_lw=has_lw, ci_u32=ci_u32, layout_key=layout_key)
+
+    statics = (families, repr(cfg), static_meta, _UNIVERSAL_CAPS,
+               has_lw, ci_u32)
+    arrays = (buf,) + tuple(metas_i) + tuple(metas_f) + (ridx,)
+    return _AOT_SLIDE.call(statics, arrays, jit_call, flat_fn)
+
+
 def _flat_block(buf, meta_i, meta_f, families, cfg, static_meta, shape,
                 has_lw, ci_u32, lw_u32, layout_key):
     """Shared trace body: unpack one padded [Bq, hb, wb] block from the
@@ -1134,13 +1170,12 @@ class PairRunner:
                               if q >= len(ridx))
                     ridx = np.concatenate(
                         [ridx, np.full(nq - len(ridx), ridx[0], np.int32)])
-                    out = _extract_slide_fused(
+                    out = _call_slide_fused(
                         buf_dev,
                         tuple(jnp.asarray(m) for m in metas_i),
                         tuple(jnp.asarray(m) for m in metas_f),
                         jnp.asarray(ridx), self.families, self.cfg,
-                        static_meta, caps=_UNIVERSAL_CAPS, has_lw=want_lw,
-                        ci_u32=ci_u32, layout_key=lkey_uni)
+                        static_meta, want_lw, ci_u32, lkey_uni)
                     fused_outs.append((idx_list, lkey_uni, out))
 
                 def dispatch_flat(entry):

@@ -50,11 +50,14 @@ print("FIRST_RUN_SECONDS", time.perf_counter() - t0)
 """
 
 
-def run(snippet, cache):
+def run(snippet, cache, env_extra=None):
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     t0 = time.perf_counter()
     p = subprocess.run([sys.executable, "-c",
                         snippet % dict(root=HERE, cache=cache)],
-                       capture_output=True, text=True, timeout=3600)
+                       capture_output=True, text=True, timeout=3600, env=env)
     wall = time.perf_counter() - t0
     first = None
     for line in p.stdout.splitlines():
@@ -97,6 +100,25 @@ def main():
             "warm_cache_process_wall_s": round(wall_w, 2),
         }
         print(name, out[name])
+    # AOT program cache (NYXUS_TPU_AOT_CACHE): the warm first run above is
+    # TRACING-bound (the persistent cache already serves the backend
+    # compile) -- measure how far the serialized-program path cuts it.
+    # Run 1 populates both caches (and pays the export at exit); run 2 is
+    # the fresh-process number users see.
+    with tempfile.TemporaryDirectory() as fresh:
+        aot = os.path.join(fresh, "aot")
+        os.makedirs(aot)
+        env = {"NYXUS_TPU_AOT_CACHE": aot}
+        run(SNIPPET_2D, fresh, env)
+        wall_w, first_w = run(SNIPPET_2D, fresh, env)
+        out["ALL_2d_aot"] = {
+            "warm_cache_first_run_s": round(first_w, 2),
+            "warm_cache_process_wall_s": round(wall_w, 2),
+            "note": ("NYXUS_TPU_AOT_CACHE serves the serialized program: "
+                     "no megakernel re-trace in a fresh process"),
+        }
+        print("ALL_2d_aot", out["ALL_2d_aot"])
+
     with open(os.path.join(HERE, "COMPILE_TIMES.json"), "w") as f:
         json.dump(out, f, indent=2)
 
