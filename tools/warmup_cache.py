@@ -26,6 +26,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
+# also persist the serialized program (skips the fresh-process re-trace,
+# pipeline/aot_cache.py) unless the caller already chose a location
+os.environ.setdefault("NYXUS_TPU_AOT_CACHE",
+                      os.path.join(ROOT, ".jax_cache", "aot"))
+
 import numpy as np  # noqa: E402
 
 
